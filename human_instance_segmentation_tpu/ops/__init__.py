@@ -1,0 +1,23 @@
+"""Core TPU-native ops: separable bilinear sampling, RoIAlign, resize, morphology."""
+
+from .sampling import (
+    bilinear_weight_matrix,
+    roi_align,
+    resize_bilinear,
+    grid_sample_positions,
+)
+from .morphology import max_pool2d, dilate, erode
+from .activations import get_activation
+from .norms import get_normalization
+
+__all__ = [
+    "bilinear_weight_matrix",
+    "roi_align",
+    "resize_bilinear",
+    "grid_sample_positions",
+    "max_pool2d",
+    "dilate",
+    "erode",
+    "get_activation",
+    "get_normalization",
+]
