@@ -1,0 +1,70 @@
+"""Benchmark: B0 flagship inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference TensorRT EP, B0 480x640 1 ROI = 4.74 ms/img
+(~211 img/s) — /root/reference/README.md:553-563 (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from human_instance_segmentation_tpu.inference import create_flagship, deployed_outputs
+
+    batch = 8          # amortise per-call overhead; per-image metric below
+    n_rois = batch     # 1 ROI per image, the baseline's shape
+    ih, iw = 480, 640
+
+    model, params = create_flagship(
+        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw))
+
+    @jax.jit
+    def infer(params, images, rois):
+        logits, aux = model.apply(params, images, rois, train=False)
+        return deployed_outputs(logits, aux["full_image_logits"], rois, dilation_pixels=1)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, ih, iw, 3), np.float32))
+    rois = jnp.asarray(
+        np.concatenate([
+            np.arange(batch, dtype=np.float32)[:, None],
+            np.tile(np.asarray([[0.2, 0.1, 0.8, 0.95]], np.float32), (batch, 1)),
+        ], axis=1))
+
+    # Chain iterations inside one XLA program with a data dependency between
+    # them: host-side block_until_ready is not a reliable fence on every
+    # remote-device transport, but in-graph dependencies are.
+    iters = 10
+
+    @jax.jit
+    def chained(params, images, rois):
+        def body(i, carry):
+            inst, binary = infer(params, images + carry, rois)
+            return jnp.mean(inst) * 1e-12
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(chained(params, images, rois))  # compile + warm
+    t0 = time.perf_counter()
+    float(chained(params, images, rois))
+    dt = (time.perf_counter() - t0) / iters
+
+    imgs_per_sec = batch / dt
+    baseline = 211.0  # img/s, B0 TRT 1-ROI
+    print(json.dumps({
+        "metric": "b0_480x640_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,5 @@ case), shapes are static (ROI-count bucketing), and multi-chip scaling is via
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from . import models  # noqa: F401
+from . import inference  # noqa: F401

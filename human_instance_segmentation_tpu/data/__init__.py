@@ -1,0 +1,18 @@
+"""Host-side data pipeline: COCO parsing, datasets, augmentations."""
+
+from .coco import COCOIndex, ann_to_mask, polygons_to_mask, rle_decode, rle_encode
+from .dataset import (
+    COCOInstanceSegmentationDataset,
+    COCOPersonBinaryDataset,
+    DatasetConfig,
+    batch_iterator,
+    collate,
+)
+from .augment import AugmentConfig, augment_sample, hflip
+
+__all__ = [
+    "COCOIndex", "ann_to_mask", "polygons_to_mask", "rle_decode", "rle_encode",
+    "COCOInstanceSegmentationDataset", "COCOPersonBinaryDataset",
+    "DatasetConfig", "batch_iterator", "collate",
+    "AugmentConfig", "augment_sample", "hflip",
+]

@@ -1,0 +1,146 @@
+"""Inference runtime: shape-bucketed jit cache + deployed output contract.
+
+TPU-native replacement for the reference's ONNX Runtime deployment
+(`RGBHierarchicalWrapper` in
+/root/reference/src/human_edge_detection/export_onnx_advanced.py:353-473 and
+the CLI harness test_hierarchical_instance_peopleseg_onnx.py).
+
+Where ONNX uses *dynamic* batch/num_rois axes, XLA wants static shapes: ROI
+counts are bucketed to powers of two and padded with sentinel rois
+(batch_idx = -1); padded outputs are zero-masked in-graph. One compiled
+executable is cached per (batch, roi-bucket) pair; everything — stage 1,
+RoIAlign, stage 2, argmax/binarise, optional dilation epilogue — is a single
+fused XLA program with no host synchronisation.
+
+Deployed output contract (matches the reference ONNX graph):
+  instance_masks: (N, mh, mw, 1)  1.0 where argmax(class) == target
+  binary_masks:   (B, H, W, 1)    P(person) from the stage-1 UNet
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.assembly import HierarchicalInstanceSegmenter
+from .models.postprocess import mask_dilation_logit_boost
+
+
+def roi_bucket(n: int, min_bucket: int = 1, max_bucket: int = 64) -> int:
+    """Round a ROI count up to the next power-of-two bucket."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return min(b, max_bucket) if n <= max_bucket else ((n + max_bucket - 1) // max_bucket) * max_bucket
+
+
+def pad_rois(rois: np.ndarray, bucket: int) -> np.ndarray:
+    """Pad (N, 5) rois to (bucket, 5) with sentinel batch_idx = -1."""
+    n = rois.shape[0]
+    if n == bucket:
+        return rois
+    pad = np.zeros((bucket - n, 5), dtype=rois.dtype)
+    pad[:, 0] = -1.0
+    return np.concatenate([rois, pad], axis=0)
+
+
+def deployed_outputs(
+    logits: jnp.ndarray,
+    full_image_logits: jnp.ndarray,
+    rois: jnp.ndarray,
+    dilation_pixels: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert model outputs to the deployed (instance_masks, binary_masks).
+
+    Mirrors export_onnx_advanced.py:360-364 (argmax==1 binarise) and
+    :386-387 (stage-1 softmax channel 0 = person probability), plus the
+    optional dilation logit boost.
+    """
+    if dilation_pixels > 0:
+        logits = mask_dilation_logit_boost(logits, dilation_pixels)
+    cls = jnp.argmax(logits, axis=-1)
+    instance = (cls == 1).astype(logits.dtype)[..., None]
+    valid = (rois[:, 0] >= 0).astype(logits.dtype)[:, None, None, None]
+    instance = instance * valid
+    binary = jax.nn.softmax(full_image_logits, axis=-1)[..., 0:1]
+    return instance, binary
+
+
+class InferenceEngine:
+    """Shape-bucketed jitted inference for the flagship model."""
+
+    def __init__(
+        self,
+        model: HierarchicalInstanceSegmenter,
+        params: Any,
+        dilation_pixels: int = 0,
+        max_bucket: int = 64,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.model = model
+        self.params = params
+        self.dilation_pixels = dilation_pixels
+        self.max_bucket = max_bucket
+        self.dtype = dtype
+        self._compiled: Dict[Tuple[int, int], Any] = {}
+
+    def _fn(self, batch: int, bucket: int):
+        key = (batch, bucket)
+        if key not in self._compiled:
+            dil = self.dilation_pixels
+
+            @jax.jit
+            def run(params, images, rois):
+                logits, aux = self.model.apply(params, images, rois, train=False)
+                inst, binary = deployed_outputs(logits, aux["full_image_logits"], rois, dil)
+                return inst, binary, logits
+
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    def __call__(self, images: np.ndarray, rois: np.ndarray):
+        """images (B, H, W, 3) in [0,1]; rois (N, 5) normalised boxes.
+
+        Returns (instance_masks (N, mh, mw, 1), binary_masks (B, H, W, 1)).
+        """
+        n = rois.shape[0]
+        bucket = roi_bucket(max(n, 1), max_bucket=self.max_bucket)
+        rois_p = pad_rois(np.asarray(rois, np.float32), bucket)
+        fn = self._fn(images.shape[0], bucket)
+        inst, binary, _ = fn(self.params, jnp.asarray(images, self.dtype), jnp.asarray(rois_p))
+        return np.asarray(inst[:n]), np.asarray(binary)
+
+    def warmup(self, batch: int = 1, buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)):
+        ih, iw = self.model.image_size
+        img = jnp.zeros((batch, ih, iw, 3), self.dtype)
+        for b in buckets:
+            rois = jnp.tile(jnp.asarray([[0.0, 0.25, 0.25, 0.75, 0.75]], jnp.float32), (b, 1))
+            fn = self._fn(batch, b)
+            jax.block_until_ready(fn(self.params, img, rois))
+
+
+def create_flagship(
+    variant: str = "b0",
+    roi_size: Tuple[int, int] = (64, 48),
+    mask_size: Tuple[int, int] = (128, 96),
+    image_size: Tuple[int, int] = (480, 640),
+    seed: int = 0,
+    **kwargs,
+) -> Tuple[HierarchicalInstanceSegmenter, Any]:
+    """Build + init the flagship model (B0 standard config by default,
+    matching SURVEY §7's minimum end-to-end slice)."""
+    model = HierarchicalInstanceSegmenter(
+        encoder_variant=variant, roi_size=roi_size, mask_size=mask_size,
+        image_size=image_size, **kwargs,
+    )
+    rng = jax.random.PRNGKey(seed)
+    images = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+    rois = jnp.asarray([[0.0, 0.25, 0.25, 0.75, 0.75]], jnp.float32)
+    # jit the init: one compiled program instead of per-op dispatches (which
+    # are pathologically slow over a remote-device tunnel).
+    params = jax.jit(lambda r: model.init(r, images, rois, train=False))(rng)
+    return model, params

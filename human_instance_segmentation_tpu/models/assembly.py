@@ -1,0 +1,278 @@
+"""Model assemblies: full pipelines from images+rois to hierarchical masks.
+
+Flagship: ``HierarchicalInstanceSegmenter`` — the TPU-native re-design of
+``HierarchicalRGBSegmentationModelWithFullImagePretrainedUNet``
+(/root/reference/src/human_edge_detection/advanced/hierarchical_segmentation_rgb.py:564-774):
+
+    stage 1: full-image people-seg UNet (EfficientNet encoder) -> 2ch logits
+    stage 2: per ROI — separable-matmul RoIAlign crops of both the logit map
+             and the RGB image -> RGB feature stack -> hierarchical head
+
+The whole forward is one jittable function of (params, images, rois);
+ROI count is static per bucket (padding handled by the caller), so XLA fuses
+stage 2 across all ROIs with no host sync.
+
+Also here: the pure-RGB model (no pretrained stage,
+hierarchical_segmentation_rgb.py:298-439) and the multi-scale RGB variant
+(:777-922).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import get_activation
+from ..ops.sampling import resize_bilinear, roi_align
+from .blocks import ConvNormAct, ResidualBlock
+from .heads import HierarchicalHeadV2, PretrainedUNetGuidedHead, RefinedHierarchicalHead
+from .unet import PeopleSegUNetWrapper, PeopleSegmentationUNet
+
+
+class RGBPatchFeatureExtractor(nn.Module):
+    """Stride-1 conv stack over ROI RGB patches.
+
+    Matches the flagship's inline extractor
+    (hierarchical_segmentation_rgb.py:657-673): 3->64->128->256 with a
+    residual block after each conv, then a 1x1 projection to feature_dim.
+    """
+
+    feature_dim: int = 256
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(norm=self.norm, activation=self.activation, activation_beta=self.activation_beta)
+        for i, ch in enumerate((64, 128, 256)):
+            x = ConvNormAct(ch, norm_groups=min(self.norm_groups, ch), name=f"conv{i}", **kw)(x, train=train)
+            x = ResidualBlock(ch, norm_groups=min(self.norm_groups, ch), name=f"res{i}", **kw)(x, train=train)
+        return ConvNormAct(
+            self.feature_dim, kernel=1, norm_groups=min(self.norm_groups, self.feature_dim), name="proj", **kw
+        )(x, train=train)
+
+
+class RGBFeatureExtractor(nn.Module):
+    """Standalone N-layer extractor (hierarchical_segmentation_rgb.py:221-295):
+    3->64->128->192->out, stride 1, residual blocks from layer 2 on."""
+
+    out_channels: int = 256
+    num_layers: int = 4
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(norm=self.norm, activation=self.activation, activation_beta=self.activation_beta)
+        channels = [64, 128, 192, self.out_channels][: self.num_layers]
+        for i, ch in enumerate(channels):
+            x = ConvNormAct(ch, norm_groups=min(self.norm_groups, ch), name=f"conv{i}", **kw)(x, train=train)
+            if i >= 1:
+                x = ResidualBlock(ch, norm_groups=min(self.norm_groups, ch), name=f"res{i}", **kw)(x, train=train)
+        return x
+
+
+class HierarchicalInstanceSegmenter(nn.Module):
+    """Flagship two-stage model.
+
+    ``__call__(images (B,H,W,3) in [0,1], rois (N,5)) ->
+    (logits (N, mh, mw, 3), aux)`` where rois rows are
+    [batch_idx, x1, y1, x2, y2] normalised to [0, 1].
+    """
+
+    encoder_variant: str = "b0"
+    roi_size: Tuple[int, int] = (64, 48)     # (h, w)
+    mask_size: Tuple[int, int] = (128, 96)   # (h, w)
+    image_size: Tuple[int, int] = (480, 640)  # (h, w) — spatial scale for RoIAlign
+    feature_dim: int = 256
+    mid_channels: int = 256
+    use_attention_module: bool = False
+    use_contour_detection: bool = True
+    use_distance_transform: bool = True
+    use_boundary_refinement: bool = False
+    use_progressive_upsampling: bool = False
+    use_subpixel_conv: bool = False
+    use_guided_head: bool = False  # True -> PretrainedUNetGuidedHead instead
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+    base_channels: int = 96
+    depth: int = 3
+    freeze_pretrained: bool = True
+    unet_decoder_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+
+    def setup(self):
+        self.pretrained_unet = PeopleSegmentationUNet(
+            encoder_variant=self.encoder_variant,
+            decoder_channels=self.unet_decoder_channels, name="pretrained_unet")
+        self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
+        self.rgb_extractor = RGBPatchFeatureExtractor(
+            feature_dim=self.feature_dim, norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta, name="rgb_extractor",
+        )
+        use_refinement = any([
+            self.use_boundary_refinement, self.use_progressive_upsampling,
+            self.use_subpixel_conv, self.use_contour_detection, self.use_distance_transform,
+        ]) and not self.use_guided_head
+        self.use_refinement = use_refinement
+        head_kw = dict(
+            mid_channels=self.mid_channels, mask_size=self.mask_size,
+            use_attention_module=self.use_attention_module,
+            norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta,
+        )
+        if use_refinement:
+            self.feature_combiner = nn.Conv(self.feature_dim, (1, 1), name="feature_combiner")
+            self.head = RefinedHierarchicalHead(
+                use_boundary_refinement=self.use_boundary_refinement,
+                use_progressive_upsampling=self.use_progressive_upsampling,
+                use_subpixel_conv=self.use_subpixel_conv,
+                use_contour_detection=self.use_contour_detection,
+                use_distance_transform=self.use_distance_transform,
+                base_channels=self.base_channels, depth=self.depth,
+                name="head", **head_kw,
+            )
+        else:
+            self.head = PretrainedUNetGuidedHead(name="head", **head_kw)
+
+    def stage1(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Full-image 2-channel person logits ([fg, bg] = [+x, -x])."""
+        # The pretrained stage is frozen in the flagship configs
+        # (train_advanced.py build path); stop_gradient keeps XLA free to
+        # skip the backward graph entirely.
+        x1 = self.pretrained_unet(images, train=False if self.freeze_pretrained else train)
+        logits2 = self.unet_wrapper(x1)
+        if self.freeze_pretrained:
+            logits2 = jax.lax.stop_gradient(logits2)
+        return logits2
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        rois: jnp.ndarray,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        ih, iw = self.image_size
+        rh, rw = self.roi_size
+        assert images.shape[1] == ih and images.shape[2] == iw, (
+            f"model compiled for {self.image_size}, got {images.shape[1:3]}")
+
+        full_image_logits = self.stage1(images, train=train)
+
+        scale = (float(ih), float(iw))
+        roi_bg_fg = roi_align(full_image_logits, rois, rh, rw, spatial_scale=scale, aligned=True)
+        roi_rgb = roi_align(images, rois, rh, rw, spatial_scale=scale, aligned=True)
+
+        rgb_features = self.rgb_extractor(roi_rgb, train=train)
+
+        if self.use_refinement:
+            combined = jnp.concatenate([rgb_features, roi_bg_fg], axis=-1)
+            combined = self.feature_combiner(combined)
+            logits, aux = self.head(combined, train=train)
+        else:
+            logits, aux = self.head(rgb_features, roi_bg_fg, train=train)
+
+        aux["full_image_logits"] = full_image_logits
+        aux["roi_bg_fg"] = roi_bg_fg
+        aux["roi_patches"] = roi_rgb
+        return logits, aux
+
+
+class PureRGBHierarchicalModel(nn.Module):
+    """RGB-only hierarchical model (no pretrained stage)
+    (hierarchical_segmentation_rgb.py:298-439)."""
+
+    roi_size: Tuple[int, int] = (28, 28)
+    mask_size: Tuple[int, int] = (56, 56)
+    image_size: Tuple[int, int] = (640, 640)
+    feature_dim: int = 256
+    use_attention_module: bool = False
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, images, rois, train: bool = False):
+        ih, iw = self.image_size
+        rh, rw = self.roi_size
+        patches = roi_align(images, rois, rh, rw, spatial_scale=(float(ih), float(iw)), aligned=False)
+        feats = RGBFeatureExtractor(
+            out_channels=self.feature_dim, norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta, name="rgb_extractor",
+        )(patches, train=train)
+        logits, aux = HierarchicalHeadV2(
+            mid_channels=256, mask_size=self.mask_size,
+            use_attention_module=self.use_attention_module,
+            norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta, name="head",
+        )(feats, train=train)
+        aux["roi_patches"] = patches
+        return logits, aux
+
+
+class MultiScaleRGBHierarchicalModel(nn.Module):
+    """Three-scale RGB crops fused before the hierarchical head
+    (hierarchical_segmentation_rgb.py:777-922)."""
+
+    roi_sizes: Tuple[int, ...] = (56, 42, 28)
+    mask_size: Tuple[int, int] = (56, 56)
+    image_size: Tuple[int, int] = (640, 640)
+    feature_dim: int = 256
+    fusion_method: str = "concat"  # concat | sum | adaptive
+    use_attention_module: bool = False
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, images, rois, train: bool = False):
+        ih, iw = self.image_size
+        scale_feats = []
+        patches0 = None
+        for i, rs in enumerate(self.roi_sizes):
+            patches = roi_align(images, rois, rs, rs, spatial_scale=(float(ih), float(iw)), aligned=False)
+            if i == 0:
+                patches0 = patches
+            f = RGBFeatureExtractor(
+                out_channels=self.feature_dim, norm=self.norm, norm_groups=self.norm_groups,
+                activation=self.activation, activation_beta=self.activation_beta, name=f"rgb_extractor{i}",
+            )(patches, train=train)
+            if f.shape[1:3] != (28, 28):
+                f = resize_bilinear(f, 28, 28)
+            scale_feats.append(f)
+
+        if self.fusion_method == "concat":
+            fused = jnp.concatenate(scale_feats, axis=-1)
+        elif self.fusion_method == "sum":
+            fused = sum(scale_feats)
+        elif self.fusion_method == "adaptive":
+            w = self.param("fusion_weights", nn.initializers.ones, (len(scale_feats),))
+            w = jax.nn.softmax(w)
+            fused = sum(wi * f for wi, f in zip(w, scale_feats))
+        else:
+            raise ValueError(f"unknown fusion method {self.fusion_method}")
+
+        fused = ConvNormAct(
+            self.feature_dim, kernel=1, norm=self.norm,
+            norm_groups=min(self.norm_groups, self.feature_dim),
+            activation=self.activation, activation_beta=self.activation_beta, name="fusion_proj",
+        )(fused, train=train)
+
+        logits, aux = HierarchicalHeadV2(
+            mid_channels=256, mask_size=self.mask_size,
+            use_attention_module=self.use_attention_module,
+            norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta, name="head",
+        )(fused, train=train)
+        aux["roi_patches"] = patches0
+        return logits, aux

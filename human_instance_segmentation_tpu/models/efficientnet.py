@@ -1,0 +1,167 @@
+"""EfficientNet-B0..B7 encoders (Flax, NHWC) with UNet feature taps.
+
+TPU-native replacement for the reference's `timm-efficientnet-{b0,b1,b3,b7}`
+encoders loaded through segmentation-models-pytorch
+(/root/reference/src/human_edge_detection/advanced/hierarchical_segmentation_unet.py:1708-1916).
+This is a from-scratch Flax implementation of the standard EfficientNet
+recipe (MBConv + SE, width/depth compound scaling), not a port: NHWC layout,
+'SAME' spatial padding (the TF convention the timm tf_* variants use, which
+is also XLA's native conv padding), SiLU activations, BatchNorm eps 1e-3.
+
+Feature taps follow the smp encoder contract so the UNet decoder sees five
+scales: [stem s2, stage2 s4, stage3 s8, stage5 s16, stage7 s32].
+Channel counts for B0: (32, 24, 40, 112, 320) — matching the reference's
+encoder out_channels so capacity is comparable.
+
+Depthwise + 1x1 convs dominate; XLA maps the 1x1 expansions onto the MXU and
+fuses BN+SiLU into them. bf16-friendly throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (expand_ratio, kernel, stride, out_channels, num_repeat) for B0
+_B0_STAGES = (
+    (1, 3, 1, 16, 1),
+    (6, 3, 2, 24, 2),
+    (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3),
+    (6, 5, 1, 112, 3),
+    (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1),
+)
+
+# (width_mult, depth_mult, default drop_rate)
+VARIANTS = {
+    "tiny": (0.25, 0.25, 0.0),  # test/dry-run variant: 7 blocks, 8-ch stem
+    "b0": (1.0, 1.0, 0.2),
+    "b1": (1.0, 1.1, 0.2),
+    "b2": (1.1, 1.2, 0.3),
+    "b3": (1.2, 1.4, 0.3),
+    "b4": (1.4, 1.8, 0.4),
+    "b5": (1.6, 2.2, 0.4),
+    "b6": (1.8, 2.6, 0.5),
+    "b7": (2.0, 3.1, 0.5),
+}
+
+
+def round_channels(c: float, width_mult: float, divisor: int = 8) -> int:
+    c *= width_mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+def round_repeats(r: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * r))
+
+
+def _bn(name: str, train: bool):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3, name=name)
+
+
+class SqueezeExcite(nn.Module):
+    squeeze_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze_channels, (1, 1), name="reduce")(s)
+        s = jax.nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with squeeze-excitation."""
+
+    out_channels: int
+    expand_ratio: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        mid = in_ch * self.expand_ratio
+        h = x
+        if self.expand_ratio != 1:
+            h = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(h)
+            h = _bn("bn0", train)(h)
+            h = jax.nn.silu(h)
+        h = nn.Conv(
+            mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding="SAME", feature_group_count=mid, use_bias=False, name="dw_conv",
+        )(h)
+        h = _bn("bn1", train)(h)
+        h = jax.nn.silu(h)
+        if self.se_ratio > 0:
+            h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(h)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="project_conv")(h)
+        h = _bn("bn2", train)(h)
+        if self.stride == 1 and in_ch == self.out_channels:
+            if train and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, keep, (h.shape[0], 1, 1, 1))
+                h = h * mask / keep
+            h = h + x
+        return h
+
+
+class EfficientNetEncoder(nn.Module):
+    """EfficientNet backbone returning five multi-scale feature maps."""
+
+    variant: str = "b0"
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        width, depth, _ = VARIANTS[self.variant]
+        stem_ch = round_channels(32, width)
+        h = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, name="stem_conv")(x)
+        h = _bn("stem_bn", train)(h)
+        h = jax.nn.silu(h)
+
+        # Five taps, smp encoder contract: stem@s2, stage1-out@s4,
+        # stage2-out@s8, stage4-out@s16, stage6-out@s32.
+        features = [h]
+        tap_after = {1, 2, 4, 6}
+        total_blocks = sum(round_repeats(r, depth) for (_, _, _, _, r) in _B0_STAGES)
+        block_idx = 0
+        for stage_i, (e, k, s, c, r) in enumerate(_B0_STAGES):
+            out_ch = round_channels(c, width)
+            repeats = round_repeats(r, depth)
+            for j in range(repeats):
+                dp = self.drop_path_rate * block_idx / max(total_blocks, 1)
+                h = MBConv(
+                    out_channels=out_ch,
+                    expand_ratio=e,
+                    kernel=k,
+                    stride=s if j == 0 else 1,
+                    drop_path=dp,
+                    name=f"stage{stage_i}_block{j}",
+                )(h, train=train)
+                block_idx += 1
+            if stage_i in tap_after:
+                features.append(h)
+        return tuple(features)
+
+
+def encoder_feature_channels(variant: str) -> Tuple[int, ...]:
+    """Channel counts of the five taps (s2, s4, s8, s16, s32)."""
+    width, depth, _ = VARIANTS[variant]
+    del depth
+    stem = round_channels(32, width)
+    # taps: stem@s2, stage1@s4, stage2@s8, stage4@s16, stage6@s32
+    chans = [round_channels(c, width) for (_, _, _, c, _) in _B0_STAGES]
+    return (stem, chans[1], chans[2], chans[4], chans[6])

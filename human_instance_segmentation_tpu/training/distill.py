@@ -1,0 +1,118 @@
+"""Temperature-progression distillation training (stage-1 binary UNet).
+
+TPU-native rebuild of train_distillation_staged.py: teacher (frozen B7/B3
+UNet) and student (B0/B1) run in ONE jitted step — the teacher under
+stop_gradient — with the binary KD loss (KL + MSE + BCE/Dice task mix),
+cosine temperature schedule, adaptive-alpha elimination, teacher-mIoU
+caching, and progressive encoder unfreezing expressed as optax masks.
+
+Batch contract: {"image": (B, H, W, 3), "mask": (B, H, W, 1)}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..losses.distillation import (
+    DistillationConfig,
+    DistillationState,
+    scheduled_temperature,
+    unet_distillation_loss,
+    update_adaptive_weights,
+)
+from ..models.unet import PeopleSegmentationUNet
+from .metrics import binary_miou
+from .state import TrainState
+
+
+def build_student_teacher(student_variant: str, teacher_variant: str):
+    student = PeopleSegmentationUNet(encoder_variant=student_variant)
+    teacher = PeopleSegmentationUNet(encoder_variant=teacher_variant)
+    return student, teacher
+
+
+def make_distill_train_step(
+    student: PeopleSegmentationUNet,
+    teacher: PeopleSegmentationUNet,
+    teacher_variables: Any,
+    tx: optax.GradientTransformation,
+    cfg: DistillationConfig = DistillationConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """One fused step: teacher fwd (no grad) + student fwd/bwd + KD loss.
+
+    The reference runs teacher under torch.no_grad in a separate call
+    (train_distillation_staged.py:306-308); here both forwards sit in the
+    same XLA program so the teacher's activations never round-trip to HBM
+    unfused, and batch-norm batch statistics update for the student (train
+    mode) while the teacher always uses running stats.
+    """
+    axis = mesh.axis_names[0] if mesh is not None else None
+
+    def loss_fn(params, batch_stats, distill_state, rng, batch):
+        t_logits = teacher.apply(teacher_variables, batch["image"], train=False)
+        t_logits = jax.lax.stop_gradient(t_logits)
+        s_logits, updates = student.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        loss, metrics = unet_distillation_loss(
+            s_logits, t_logits, batch["mask"], distill_state, cfg)
+        metrics["student_miou"] = binary_miou(jax.lax.stop_gradient(s_logits), batch["mask"])
+        metrics["teacher_miou"] = binary_miou(t_logits, batch["mask"])
+        return loss, (updates["batch_stats"], metrics)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.distill_state, rng, batch)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
+            loss = jax.lax.pmean(loss, axis)
+        ok = jnp.logical_and(jnp.isfinite(optax.global_norm(grads)), jnp.isfinite(loss))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(ok, x, y), a, b)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=sel(new_params, state.params),
+            batch_stats=sel(new_stats, state.batch_stats),
+            opt_state=sel(new_opt, state.opt_state),
+            skipped=state.skipped + jnp.where(ok, 0, 1).astype(state.skipped.dtype),
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(), P(axis)), out_specs=(P(), P()),
+        check_vma=False), donate_argnums=(0,))
+
+
+def epoch_update(
+    state: TrainState,
+    cfg: DistillationConfig,
+    epoch: int,
+    total_epochs: int,
+    student_iou: Optional[float] = None,
+    teacher_iou: Optional[float] = None,
+) -> TrainState:
+    """Between-epoch distillation-state transition: temperature schedule
+    (train_distillation_staged.py:1599) + adaptive alpha from validation
+    IoUs (:1352-1446). Pure host-side; the new state rides into the next
+    jitted step."""
+    ds: DistillationState = state.distill_state
+    new_t = scheduled_temperature(cfg, epoch, total_epochs)
+    ds = ds.replace(temperature=jnp.asarray(new_t, jnp.float32))
+    if student_iou is not None and teacher_iou is not None:
+        ds = update_adaptive_weights(ds, cfg, jnp.asarray(student_iou),
+                                     jnp.asarray(teacher_iou))
+    return state.replace(distill_state=ds)

@@ -1,0 +1,202 @@
+"""Training orchestration CLI.
+
+The TPU-native counterpart of train_advanced.py's main loop
+(/root/reference/train_advanced.py:903-1689): config lookup -> model build
+-> optimizer/schedule -> epoch loop (train step, periodic eval, best-mIoU
+checkpoint) — with the host loop doing nothing but feeding batches; all
+compute is inside the jitted (optionally shard_mapped) step.
+
+Usage:
+    python -m human_instance_segmentation_tpu.training.loop \
+        --config rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r64x48m128x96_disttrans_contdet_baware_from_b0 \
+        --steps 2 --synthetic [--devices N] [--tiny]
+
+``--synthetic`` runs on generated data (pipeline smoke / CI);
+real data needs COCO annotations + images configured in DataConfig.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def synthetic_batches(batch: int, k: int, image_hw, mask_hw, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    ih, iw = image_hw
+    mh, mw = mask_hw
+    while True:
+        yield {
+            "images": rng.random((batch, ih, iw, 3), np.float32),
+            "boxes": np.tile(np.asarray([[0.2, 0.2, 0.8, 0.8]], np.float32), (batch, k, 1))
+            + rng.uniform(-0.05, 0.05, (batch, k, 4)).astype(np.float32),
+            "masks": rng.integers(0, 3, (batch, k, mh, mw)).astype(np.int32),
+            "valid": np.ones((batch, k), np.float32),
+        }
+
+
+def run_training(
+    config_name: str,
+    steps: int = 0,
+    epochs: Optional[int] = None,
+    synthetic: bool = False,
+    devices: Optional[int] = None,
+    tiny: bool = False,
+    output_dir: Optional[str] = None,
+    resume: bool = False,
+    platform: Optional[str] = None,
+) -> Dict[str, float]:
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..config import ConfigManager, _as_hw, model_from_config
+    from ..losses.hierarchical import RefinedLossConfig, HierarchicalLossConfig
+    from ..parallel.mesh import create_mesh, replicate, shard_batch
+    from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from .logging import TrainLogger
+    from .optim import build_optimizer, build_schedule
+    from .state import TrainState
+    from .steps import make_eval_step, make_train_step
+
+    cfg = ConfigManager.get_config(config_name)
+    if tiny:
+        cfg.model.image_size = (64, 64)
+        cfg.model.roi_size = (16, 12)
+        cfg.model.mask_size = (32, 24)
+        cfg.model.encoder_name = "tiny"
+        cfg.model.hierarchical_base_channels = 16
+        cfg.model.hierarchical_depth = 2
+        cfg.training.batch_size = max(devices or 1, 1)
+        cfg.data.rois_per_image = 2
+
+    model = model_from_config(cfg)
+    if tiny and hasattr(model, "mid_channels"):
+        model = model.clone(mid_channels=32, feature_dim=32,
+                            unet_decoder_channels=(32, 24, 16, 16, 8))
+
+    ih, iw = _as_hw(cfg.model.image_size)
+    mh, mw = _as_hw(cfg.model.mask_size)
+    k = cfg.data.rois_per_image
+    batch_size = cfg.training.batch_size
+
+    out_dir = output_dir or f"{cfg.output_dir}/{cfg.name}"
+    logger = TrainLogger(f"{out_dir}/logs", cfg.name)
+    logger.config(cfg.to_dict())
+
+    steps_per_epoch = 100 if synthetic else 1000  # refined once data is real
+    n_epochs = epochs if epochs is not None else cfg.training.num_epochs
+    total_steps = steps if steps > 0 else n_epochs * steps_per_epoch
+
+    schedule = build_schedule(
+        cfg.training.learning_rate, n_epochs, steps_per_epoch,
+        cfg.training.scheduler, cfg.training.min_lr, cfg.training.warmup_epochs)
+    tx = build_optimizer(schedule, cfg.training.optimizer,
+                         cfg.training.weight_decay, cfg.training.gradient_clip)
+
+    rng = jax.random.PRNGKey(0)
+    init_images = jnp.zeros((1, ih, iw, 3), jnp.float32)
+    init_rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, init_images, init_rois, train=False))(rng)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+
+    mesh = None
+    if devices and devices > 1:
+        mesh = create_mesh(devices)
+        state = replicate(mesh, state)
+
+    ckpt_dir = f"{out_dir}/checkpoints"
+    if resume:
+        prev = latest_step(ckpt_dir)
+        if prev is not None:
+            state, prev_step = restore_checkpoint(ckpt_dir, jax.device_get(state))
+            if mesh is not None:
+                state = replicate(mesh, state)
+            logger.text(f"resumed from step {prev_step}")
+
+    loss_cfg = RefinedLossConfig(
+        base=HierarchicalLossConfig(bg_weight=1.5, fg_weight=1.5, target_weight=1.2,
+                                    consistency_weight=0.3),
+        use_contour_detection=cfg.model.use_contour_detection,
+        use_distance_transform=cfg.model.use_distance_transform,
+        use_active_contour_loss=cfg.model.use_active_contour_loss,
+        use_boundary_aware_loss=cfg.model.use_boundary_aware_loss,
+    )
+    train_step = make_train_step(model, tx, loss_cfg, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=mesh)
+
+    if synthetic:
+        batches = synthetic_batches(batch_size, k, (ih, iw), (mh, mw))
+    else:
+        from ..data import COCOInstanceSegmentationDataset, DatasetConfig, batch_iterator
+        from ..data.augment import AugmentConfig
+
+        ds = COCOInstanceSegmentationDataset(
+            cfg.data.train_annotation, cfg.data.train_img_dir,
+            DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw),
+                          rois_per_image=k, roi_padding=cfg.data.roi_padding),
+            augment=AugmentConfig() if cfg.data.use_augmentation else None)
+        steps_per_epoch = max(len(ds) // batch_size, 1)
+
+        def forever():
+            epoch = 0
+            while True:
+                yield from batch_iterator(ds, batch_size, shuffle=True, seed=epoch)
+                epoch += 1
+
+        batches = forever()
+
+    last_metrics: Dict[str, float] = {}
+    t0 = time.perf_counter()
+    for i in range(total_steps):
+        host_batch = next(batches)
+        device_batch = shard_batch(mesh, host_batch) if mesh is not None else host_batch
+        state, metrics = train_step(state, device_batch)
+        if i % 20 == 0 or i == total_steps - 1:
+            last_metrics = {k2: float(v) for k2, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            logger.metrics(i, last_metrics)
+            logger.text(f"step {i}: loss {last_metrics.get('total_loss', float('nan')):.4f} "
+                        f"({(i + 1) * batch_size / dt:.1f} img/s)")
+        if cfg.training.save_every and (i + 1) % (cfg.training.save_every * steps_per_epoch) == 0:
+            save_checkpoint(ckpt_dir, jax.device_get(state), i + 1)
+            logger.text(f"checkpoint at step {i + 1}")
+
+    ev = eval_step((state.params, state.batch_stats),
+                   shard_batch(mesh, host_batch) if mesh is not None else host_batch)
+    n = float(ev["n"])
+    last_metrics["eval_miou"] = float(ev["iou_sum"]) / max(n, 1.0)
+    save_checkpoint(ckpt_dir, jax.device_get(state), total_steps)
+    logger.text(f"done: {total_steps} steps, final loss "
+                f"{last_metrics.get('total_loss', float('nan')):.4f}, "
+                f"eval mIoU {last_metrics['eval_miou']:.4f}")
+    logger.close()
+    return last_metrics
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r64x48m64x48_disttrans_contdet_baware")
+    p.add_argument("--steps", type=int, default=0, help="total steps (overrides epochs)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny shapes for smoke tests")
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    args = p.parse_args()
+    run_training(args.config, steps=args.steps, epochs=args.epochs,
+                 synthetic=args.synthetic, devices=args.devices, tiny=args.tiny,
+                 output_dir=args.output_dir, resume=args.resume, platform=args.platform)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
+
+# The container's axon sitecustomize registers the TPU backend regardless of
+# the env var; force the CPU platform explicitly before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,115 @@
+"""Config system tests: registry, round-trip, grammar parsing."""
+
+import json
+
+import pytest
+
+from human_instance_segmentation_tpu.config import (
+    ConfigManager,
+    ExperimentConfig,
+    FLAGSHIP_SIZES,
+    parse_sizes_from_name,
+    model_from_config,
+)
+
+
+def test_registry_size_and_key_names():
+    names = ConfigManager.list_configs()
+    assert len(names) >= 60
+    for required in (
+        "baseline",
+        "rgb_hierarchical_unet_v2",
+        "rgb_hierarchical_unet_v2_attention",
+        "rgb_hierarchical_unet_v2_attention_r64m64",
+        "rgb_hierarchical_unet_v2_attention_r112m224_refined",
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r64x48m64x48_disttrans_contdet_baware",
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r64x48m128x96_disttrans_contdet_baware_from_b0",
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r80x60m160x120_disttrans_contdet_baware_from_b1_enhanced",
+        "rgb_hierarchical_unet_v2_distillation_b0_from_b7_temp_prog",
+        "rgb_hierarchical_unet_v2_distillation_b0_from_b3",
+        "rgb_hierarchical_unet_v2_finetune_b7",
+    ):
+        assert required in names, required
+
+
+def test_flagship_config_fields():
+    cfg = ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m128x96_disttrans_contdet_baware_from_b0")
+    assert cfg.model.roi_size == (64, 48)
+    assert cfg.model.mask_size == (128, 96)
+    assert cfg.model.encoder_name == "b0"
+    assert cfg.model.use_full_image_unet and cfg.model.freeze_pretrained_weights
+    assert cfg.model.use_contour_detection and cfg.model.use_distance_transform
+    assert cfg.model.hierarchical_base_channels == 96
+
+
+def test_enhanced_variant_capacity():
+    base = ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r128x96m256x192_disttrans_contdet_baware_from_b7")
+    enh = ConfigManager.get_config(base.name + "_enhanced")
+    assert enh.model.hierarchical_base_channels > base.model.hierarchical_base_channels
+    assert enh.model.hierarchical_depth == 4
+
+
+def test_temp_prog_fields_are_first_class():
+    cfg = ConfigManager.get_config("rgb_hierarchical_unet_v2_distillation_b0_from_b7_temp_prog")
+    d = cfg.distillation
+    assert d.enabled and d.use_temperature_scheduling and d.progressive_unfreeze
+    assert d.initial_temperature == 10.0 and d.final_temperature == 1.0
+    assert d.unfreeze_schedule  # a real dict, not strings in feature_match_layers
+    assert d.student_encoder == "b0" and d.teacher_encoder == "b7"
+
+
+def test_json_round_trip(tmp_path):
+    cfg = ConfigManager.get_config("rgb_hierarchical_unet_v2_distillation_b0_from_b7_temp_prog")
+    p = tmp_path / "cfg.json"
+    cfg.save(str(p))
+    loaded = ExperimentConfig.load(str(p))
+    assert loaded.to_dict() == cfg.to_dict()
+
+
+def test_custom_config_deep_merge():
+    cfg = ConfigManager.create_custom_config(
+        "rgb_hierarchical_unet_v2", "custom",
+        {"training": {"learning_rate": 5e-4}, "model": {"roi_size": 32}})
+    assert cfg.name == "custom"
+    assert cfg.training.learning_rate == 5e-4
+    assert cfg.model.roi_size == 32
+    # untouched fields preserved
+    assert cfg.training.num_epochs == 100
+
+
+def test_get_config_returns_copy():
+    a = ConfigManager.get_config("baseline")
+    a.training.learning_rate = 123.0
+    b = ConfigManager.get_config("baseline")
+    assert b.training.learning_rate != 123.0
+
+
+def test_parse_sizes_grammar():
+    assert parse_sizes_from_name("..._r64x48m128x96_...") == ((64, 48), (128, 96))
+    assert parse_sizes_from_name("..._r64m112") == ((64, 64), (112, 112))
+    assert parse_sizes_from_name("nothing") == (None, None)
+
+
+def test_model_from_config_dispatch():
+    from human_instance_segmentation_tpu.models.assembly import (
+        HierarchicalInstanceSegmenter, PureRGBHierarchicalModel)
+
+    flag = ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m128x96_disttrans_contdet_baware_from_b0")
+    m = model_from_config(flag)
+    assert isinstance(m, HierarchicalInstanceSegmenter)
+    assert m.encoder_variant == "b0"
+    assert m.roi_size == (64, 48) and m.mask_size == (128, 96)
+
+    plain = ConfigManager.get_config("rgb_hierarchical_unet_v2")
+    assert isinstance(model_from_config(plain), PureRGBHierarchicalModel)
+
+
+def test_unknown_config_raises():
+    with pytest.raises(KeyError):
+        ConfigManager.get_config("definitely_not_a_config")

@@ -1,0 +1,165 @@
+"""Data pipeline tests with a synthetic COCO fixture + real bundled images."""
+
+import json
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from human_instance_segmentation_tpu.data import (
+    AugmentConfig,
+    COCOIndex,
+    COCOInstanceSegmentationDataset,
+    COCOPersonBinaryDataset,
+    DatasetConfig,
+    batch_iterator,
+    hflip,
+    polygons_to_mask,
+    rle_decode,
+    rle_encode,
+)
+from human_instance_segmentation_tpu.data.coco import (
+    _leb_string_decode,
+    _leb_string_encode,
+    rle_decode_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    """Extract the reference's bundled 160x120 COCO images."""
+    tar = Path("/root/reference/test_data/images_resized_160x120.tar.gz")
+    if not tar.exists():
+        pytest.skip("bundled test images unavailable")
+    d = tmp_path_factory.mktemp("imgs")
+    with tarfile.open(tar) as tf:
+        tf.extractall(d)
+    return d / "images_resized_160x120"
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(image_dir):
+    """COCO annotations over two bundled images with box-shaped polygons."""
+    files = sorted(image_dir.glob("*.jpg"))[:2]
+    images, annotations = [], []
+    ann_id = 1
+    for i, f in enumerate(files):
+        from PIL import Image
+
+        w, h = Image.open(f).size
+        images.append({"id": i + 1, "file_name": f.name, "width": w, "height": h})
+        for box in ([10, 10, 60, 80], [70, 20, 50, 70]):
+            x, y, bw, bh = box
+            poly = [x, y, x + bw, y, x + bw, y + bh, x, y + bh]
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": 1,
+                "bbox": box, "area": bw * bh, "iscrowd": 0,
+                "segmentation": [poly],
+            })
+            ann_id += 1
+    return COCOIndex({"images": images, "annotations": annotations,
+                      "categories": [{"id": 1, "name": "person"}]})
+
+
+def test_rle_round_trip(rng):
+    m = (rng.random((13, 17)) > 0.5).astype(np.uint8)
+    rle = rle_encode(m)
+    np.testing.assert_array_equal(rle_decode(rle), m)
+    # compressed string codec round-trip
+    s = _leb_string_encode(rle["counts"])
+    assert _leb_string_decode(s) == rle["counts"]
+    np.testing.assert_array_equal(
+        rle_decode({"size": rle["size"], "counts": s}), m)
+
+
+def test_polygon_rasterisation():
+    m = polygons_to_mask([[2, 2, 8, 2, 8, 8, 2, 8]], 10, 10)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert m[2, 2] == 1  # boundary included
+
+
+def test_instance_dataset_sample(synthetic_coco, image_dir):
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=4, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(synthetic_coco, str(image_dir), cfg)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (96, 128, 3)
+    assert s["boxes"].shape == (4, 4)
+    assert s["masks"].shape == (4, 32, 24)
+    assert s["valid"].tolist() == [1.0, 1.0, 0.0, 0.0]
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    # boxes normalised and ordered
+    b = s["boxes"][0]
+    assert 0.0 <= b[0] < b[2] <= 1.0 and 0.0 <= b[1] < b[3] <= 1.0
+    # target ROI mask has target pixels, and the overlapping other instance
+    # contributes class 2 somewhere in one of the two ROIs
+    assert (s["masks"][0] == 1).any()
+    assert set(np.unique(s["masks"][:2])) <= {0, 1, 2}
+
+
+def test_instance_dataset_batching(synthetic_coco, image_dir):
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=4, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(synthetic_coco, str(image_dir), cfg)
+    batches = list(batch_iterator(ds, batch_size=2, shuffle=True, seed=0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape == (2, 96, 128, 3)
+    assert b["boxes"].shape == (2, 4, 4)
+    assert b["masks"].shape == (2, 4, 32, 24)
+    assert b["valid"].shape == (2, 4)
+
+
+def test_binary_dataset(synthetic_coco, image_dir):
+    ds = COCOPersonBinaryDataset(synthetic_coco, str(image_dir), image_size=(96, 128))
+    s = ds[0]
+    assert s["image"].shape == (96, 128, 3)
+    assert s["mask"].shape == (96, 128, 1)
+    assert set(np.unique(s["mask"])) <= {0.0, 1.0}
+    assert s["mask"].sum() > 0  # union of persons non-empty
+
+
+def test_hflip_consistency():
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, 0, 0] = 1.0  # left column marked
+    boxes = np.asarray([[0.0, 0.25, 0.5, 0.75]], np.float32)
+    masks = np.zeros((1, 4, 4), np.int32)
+    masks[0, :, 0] = 1
+    out = hflip({"image": img, "boxes": boxes, "masks": masks})
+    assert out["image"][0, -1, 0] == 1.0  # mark moved to right column
+    np.testing.assert_allclose(out["boxes"][0], [0.5, 0.25, 1.0, 0.75])
+    assert (out["masks"][0, :, -1] == 1).all()
+
+
+def test_augment_preserves_shapes_and_range(synthetic_coco, image_dir, rng):
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=4, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(
+        synthetic_coco, str(image_dir), cfg,
+        augment=AugmentConfig(hflip_prob=1.0, color_prob=1.0, heavy=True,
+                              blur_prob=1.0, noise_prob=1.0))
+    s = ds[0]
+    assert s["image"].shape == (96, 128, 3)
+    assert s["image"].min() >= 0.0 and s["image"].max() <= 1.0
+    assert s["image"].dtype == np.float32
+
+
+def test_filtering():
+    # tiny and extreme-aspect boxes are filtered out
+    imgs = [{"id": 1, "file_name": "x.jpg", "width": 100, "height": 100}]
+    anns = [
+        {"id": 1, "image_id": 1, "bbox": [0, 0, 5, 5], "iscrowd": 0,
+         "segmentation": [[0, 0, 5, 0, 5, 5, 0, 5]]},          # too small
+        {"id": 2, "image_id": 1, "bbox": [0, 0, 90, 10], "iscrowd": 0,
+         "segmentation": [[0, 0, 90, 0, 90, 10, 0, 10]]},      # aspect 9.0
+        {"id": 3, "image_id": 1, "bbox": [0, 0, 50, 50], "iscrowd": 0,
+         "segmentation": [[0, 0, 50, 0, 50, 50, 0, 50]]},      # keeps
+    ]
+    idx = COCOIndex({"images": imgs, "annotations": anns})
+    cfg = DatasetConfig(filter_min_box=30.0, filter_aspect_range=(0.2, 5.0),
+                        min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(idx, "/nonexistent", cfg)
+    assert len(ds.samples) == 1
+    assert ds.samples[0][1] == [3]

@@ -1,0 +1,96 @@
+"""Tests for fused post-processing epilogues vs reference (torch CPU) math."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_instance_segmentation_tpu.models import postprocess as pp
+
+
+def _rand_mask(rng, shape):
+    return (rng.random(shape) > 0.5).astype(np.float32)
+
+
+def test_dilation_boost_noop_when_zero():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32))
+    out = pp.mask_dilation_logit_boost(logits, 0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(logits))
+
+
+def test_dilation_boost_expands_target():
+    # single hot pixel of class 1 -> after dilation, neighbours get boosted
+    logits = np.zeros((1, 9, 9, 3), np.float32)
+    logits[..., 0] = 2.0  # bg wins everywhere
+    logits[0, 4, 4, 1] = 6.0  # target wins at the centre
+    out = np.asarray(pp.mask_dilation_logit_boost(jnp.asarray(logits), 1))
+    # neighbours of (4,4) must get a +2.0 boost on channel 1
+    assert out[0, 4, 5, 1] == pytest.approx(2.0)
+    assert out[0, 3, 4, 1] == pytest.approx(2.0)
+    # far away unchanged
+    assert out[0, 0, 0, 1] == pytest.approx(0.0)
+    # centre keeps its logit (already high prob, diff <= 0.1)
+    assert out[0, 4, 4, 1] == pytest.approx(6.0)
+
+
+def test_edge_smoothing_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    m = _rand_mask(rng, (1, 16, 16, 1))
+
+    ours = np.asarray(pp.edge_smooth_binary_mask(jnp.asarray(m), 0.5, 3.0))
+
+    lap = torch.tensor([[-1., -1, -1], [-1, 8, -1], [-1, -1, -1]]).view(1, 1, 3, 3)
+    gau = torch.tensor([[1., 2, 1], [2, 4, 2], [1, 2, 1]]).view(1, 1, 3, 3) / 16
+    t = torch.from_numpy(m.transpose(0, 3, 1, 2))
+    edges = torch.sigmoid(torch.abs(F.conv2d(t, lap, padding=1)) * 3.0)
+    blur = F.conv2d(t, gau, padding=1)
+    sm = t * (1 - edges) + blur * edges
+    ref = (sm > 0.5).float().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_bilateral_filter_matches_dense_reference():
+    # brute-force reference at a few positions
+    rng = np.random.default_rng(2)
+    x = rng.random((1, 8, 8, 1)).astype(np.float32)
+    out = np.asarray(pp.bilateral_filter(jnp.asarray(x), 3, 1.0, 0.2))
+
+    xp = np.pad(x[0, :, :, 0], 1, mode="reflect")
+    coords = np.arange(3) - 1
+    sk = np.exp(-(coords[:, None] ** 2 + coords[None, :] ** 2) / 2.0)
+    for (i, j) in [(0, 0), (3, 4), (7, 7)]:
+        patch = xp[i:i + 3, j:j + 3]
+        c = x[0, i, j, 0]
+        w = sk * np.exp(-((patch - c) ** 2) / (2 * 0.2 ** 2))
+        ref = (patch * w).sum() / (w.sum() + 1e-8)
+        assert out[0, i, j, 0] == pytest.approx(ref, rel=1e-4)
+
+
+def test_fast_bilateral_and_guided_smooth():
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 16, 16, 1)).astype(np.float32)
+    fb = np.asarray(pp.fast_bilateral_filter(jnp.asarray(x)))
+    gf = np.asarray(pp.guided_filter(jnp.asarray(x)))
+    assert fb.shape == x.shape and gf.shape == x.shape
+    # smoothing reduces total variation
+    def tv(a):
+        return np.abs(np.diff(a[0, :, :, 0], axis=0)).sum() + np.abs(np.diff(a[0, :, :, 0], axis=1)).sum()
+    assert tv(fb) < tv(x)
+
+
+def test_binary_and_morphological_bilateral_binary_output():
+    rng = np.random.default_rng(4)
+    m = _rand_mask(rng, (1, 16, 16, 1))
+    b1 = np.asarray(pp.binary_mask_bilateral(jnp.asarray(m)))
+    b2 = np.asarray(pp.morphological_bilateral(jnp.asarray(m)))
+    assert set(np.unique(b1)).issubset({0.0, 1.0})
+    assert set(np.unique(b2)).issubset({0.0, 1.0})
+
+
+def test_morphological_removes_speckle():
+    m = np.zeros((1, 16, 16, 1), np.float32)
+    m[0, 8, 8, 0] = 1.0  # isolated pixel -> opening removes it
+    out = np.asarray(pp.morphological_bilateral(jnp.asarray(m)))
+    assert out.sum() == 0.0
