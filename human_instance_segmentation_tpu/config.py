@@ -72,6 +72,10 @@ class ModelConfig:
     multi_scale: bool = False
     roi_sizes: Optional[Tuple[int, ...]] = None
     fusion_method: str = "concat"
+    # Variable per-layer ROI sizes (variable_roi_model.py experiments)
+    variable_roi_sizes: Optional[Dict[str, int]] = None
+    use_rgb_enhancement: bool = False
+    rgb_enhanced_layers: Tuple[str, ...] = ("layer_34",)
 
 
 @dataclass
@@ -463,6 +467,8 @@ def model_from_config(cfg: ExperimentConfig):
         MultiScaleRGBHierarchicalModel,
         PureRGBHierarchicalModel,
     )
+    from .models.baseline import ROISegmentationModel
+    from .models.multiscale import VariableROISegmentationModel
 
     m = cfg.model
     roi = _as_hw(m.roi_size)
@@ -473,6 +479,13 @@ def model_from_config(cfg: ExperimentConfig):
         activation=m.activation_function, activation_beta=m.activation_beta,
         use_attention_module=m.use_attention_module,
     )
+    if not (m.use_rgb_hierarchical or m.use_hierarchical_unet_v2 or m.use_hierarchical):
+        if m.variable_roi_sizes:
+            return VariableROISegmentationModel(
+                roi_sizes=dict(m.variable_roi_sizes), mask_size=mask, **common)
+        return ROISegmentationModel(roi_size=roi, mask_size=mask,
+                                    norm=m.normalization_type,
+                                    norm_groups=m.normalization_groups)
     if m.multi_scale:
         return MultiScaleRGBHierarchicalModel(
             roi_sizes=tuple(m.roi_sizes or (56, 42, 28)), mask_size=mask,

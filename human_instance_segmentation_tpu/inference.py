@@ -30,6 +30,12 @@ from .models.assembly import HierarchicalInstanceSegmenter
 from .models.postprocess import mask_dilation_logit_boost
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves of a pytree (params) to ``dtype`` (bf16 serving)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def roi_bucket(n: int, min_bucket: int = 1, max_bucket: int = 64) -> int:
     """Round a ROI count up to the next power-of-two bucket."""
     b = min_bucket

@@ -5,9 +5,30 @@ from .unet import PeopleSegmentationUNet, PeopleSegUNetWrapper
 from .heads import (
     EnhancedUNet,
     ShallowUNet,
+    HierarchicalHeadV1,
     HierarchicalHeadV2,
+    HierarchicalHeadV3,
+    HierarchicalHeadV4,
     RefinedHierarchicalHead,
     PretrainedUNetGuidedHead,
+)
+from .baseline import ROISegmentationHead, ROISegmentationModel
+from .multiscale import (
+    FEATURE_SPECS,
+    ConvFeaturePyramid,
+    MultiScaleRoIAlign,
+    MultiScaleFeatureFusion,
+    MultiScaleSegmentationModel,
+    VariableROISegmentationModel,
+    HierarchicalFeatureFusion,
+    LightweightRGBEncoder,
+)
+from .extras import (
+    CascadeSegmentationHead,
+    ClassSpecificDecoder,
+    AuxiliaryFgBgHead,
+    cascade_loss,
+    multi_task_loss,
 )
 from .assembly import (
     HierarchicalInstanceSegmenter,
@@ -25,9 +46,27 @@ __all__ = [
     "PeopleSegUNetWrapper",
     "EnhancedUNet",
     "ShallowUNet",
+    "HierarchicalHeadV1",
     "HierarchicalHeadV2",
+    "HierarchicalHeadV3",
+    "HierarchicalHeadV4",
     "RefinedHierarchicalHead",
     "PretrainedUNetGuidedHead",
+    "ROISegmentationHead",
+    "ROISegmentationModel",
+    "FEATURE_SPECS",
+    "ConvFeaturePyramid",
+    "MultiScaleRoIAlign",
+    "MultiScaleFeatureFusion",
+    "MultiScaleSegmentationModel",
+    "VariableROISegmentationModel",
+    "HierarchicalFeatureFusion",
+    "LightweightRGBEncoder",
+    "CascadeSegmentationHead",
+    "ClassSpecificDecoder",
+    "AuxiliaryFgBgHead",
+    "cascade_loss",
+    "multi_task_loss",
     "HierarchicalInstanceSegmenter",
     "PureRGBHierarchicalModel",
     "MultiScaleRGBHierarchicalModel",

@@ -220,6 +220,182 @@ class HierarchicalHeadV2(nn.Module):
         return final, aux
 
 
+class HierarchicalHeadV1(nn.Module):
+    """V1: ShallowUNet bg/fg branch (hierarchical_segmentation_unet.py:420-535).
+    Same hierarchical combine as V2, simpler branch-1 and no dropout."""
+
+    mid_channels: int = 256
+    mask_size: Tuple[int, int] = (56, 56)
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, train: bool = False):
+        kw = dict(norm=self.norm, norm_groups=self.norm_groups,
+                  activation=self.activation, activation_beta=self.activation_beta)
+        act = get_activation(self.activation, self.activation_beta)
+        mc = self.mid_channels
+        mh, mw = self.mask_size
+
+        shared = ConvNormAct(mc, name="shared_in", **kw)(features, train=train)
+        shared = ResidualBlock(mc, name="shared_res0", **kw)(shared, train=train)
+        shared = ResidualBlock(mc, name="shared_res1", **kw)(shared, train=train)
+
+        bg_fg_low = ShallowUNet(base_channels=128, name="bg_vs_fg_unet", **kw)(shared, train=train)
+        up = ConvTranspose2x(32, name="upsample_deconv")(bg_fg_low)
+        up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="upsample_norm")(up, train=train)
+        bg_fg_logits = nn.Conv(2, (1, 1), name="upsample_out")(act(up))
+        if bg_fg_logits.shape[1:3] != (mh, mw):
+            bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
+        bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
+
+        g = act(nn.Conv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
+        g = act(nn.Conv(mc // 2, (1, 1), name="gate1")(g))
+        fg_attention = jax.nn.sigmoid(nn.Conv(mc, (1, 1), name="gate2")(g))
+
+        t = shared * fg_attention
+        t = ResidualBlock(mc, name="tnt_res0", **kw)(t, train=train)
+        t = ConvTranspose2x(mc // 2, name="tnt_deconv")(t)
+        t = get_normalization(self.norm, mc // 2, min(self.norm_groups, mc // 2), name="tnt_norm")(t, train=train)
+        t = act(t)
+        t = ResidualBlock(mc // 2, name="tnt_res1", norm=self.norm,
+                          norm_groups=min(self.norm_groups, mc // 2),
+                          activation=self.activation, activation_beta=self.activation_beta)(t, train=train)
+        tnt_logits = nn.Conv(2, (1, 1), name="tnt_out")(t)
+        if tnt_logits.shape[1:3] != (mh, mw):
+            tnt_logits = resize_bilinear(tnt_logits, mh, mw)
+
+        fg_p = bg_fg_probs[..., 1:2]
+        final = jnp.concatenate([
+            bg_fg_logits[..., 0:1],
+            bg_fg_logits[..., 1:2] + tnt_logits[..., 0:1] * fg_p,
+            bg_fg_logits[..., 1:2] + tnt_logits[..., 1:2] * fg_p,
+        ], axis=-1)
+        aux = {"bg_fg_logits": bg_fg_logits, "bg_fg_logits_low": bg_fg_low,
+               "target_nontarget_logits": tnt_logits, "fg_attention": fg_attention}
+        return final, aux
+
+
+class HierarchicalHeadV3(nn.Module):
+    """V3: EnhancedUNet bg/fg + ShallowUNet target/non-target with dual
+    gating (hierarchical_segmentation_unet.py:1210-1335)."""
+
+    mid_channels: int = 256
+    mask_size: Tuple[int, int] = (56, 56)
+    base_channels: int = 96
+    depth: int = 3
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, train: bool = False):
+        kw = dict(norm=self.norm, norm_groups=self.norm_groups,
+                  activation=self.activation, activation_beta=self.activation_beta)
+        act = get_activation(self.activation, self.activation_beta)
+        mc = self.mid_channels
+        mh, mw = self.mask_size
+
+        shared = ConvNormAct(mc, name="shared_in", **kw)(features, train=train)
+        shared = ResidualBlock(mc, name="shared_res0", **kw)(shared, train=train)
+        shared = ResidualBlock(mc, name="shared_res1", **kw)(shared, train=train)
+
+        bg_fg_low = EnhancedUNet(base_channels=self.base_channels, depth=self.depth,
+                                 name="bg_vs_fg_unet", **kw)(shared, train=train)
+        up = ConvTranspose2x(32, name="up_bgfg_deconv")(bg_fg_low)
+        up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="up_bgfg_norm")(up, train=train)
+        bg_fg_logits = nn.Conv(2, (1, 1), name="up_bgfg_out")(act(up))
+        if bg_fg_logits.shape[1:3] != (mh, mw):
+            bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
+        bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
+
+        g = act(nn.Conv(mc // 4, (1, 1), name="fg_gate0")(bg_fg_low))
+        fg_attention = jax.nn.sigmoid(nn.Conv(mc, (1, 1), name="fg_gate1")(g))
+
+        gated = shared * fg_attention
+        tnt_low = ShallowUNet(base_channels=64, name="target_nontarget_unet", **kw)(gated, train=train)
+        upt = ConvTranspose2x(32, name="up_tnt_deconv")(tnt_low)
+        upt = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="up_tnt_norm")(upt, train=train)
+        tnt_logits = nn.Conv(2, (1, 1), name="up_tnt_out")(act(upt))
+        if tnt_logits.shape[1:3] != (mh, mw):
+            tnt_logits = resize_bilinear(tnt_logits, mh, mw)
+
+        tg = act(nn.Conv(32, (1, 1), name="target_gate0")(tnt_low))
+        target_attention = jax.nn.sigmoid(nn.Conv(1, (1, 1), name="target_gate1")(tg))
+        target_attention_up = resize_bilinear(target_attention, mh, mw)
+
+        fg_p = bg_fg_probs[..., 1:2]
+        fg_base = bg_fg_logits[..., 1:2]
+        final = jnp.concatenate([
+            bg_fg_logits[..., 0:1],
+            fg_base + tnt_logits[..., 0:1] * fg_p * target_attention_up,
+            fg_base + tnt_logits[..., 1:2] * fg_p,
+        ], axis=-1)
+        aux = {"bg_fg_logits": bg_fg_logits, "bg_fg_logits_low": bg_fg_low,
+               "target_nontarget_logits": tnt_logits, "target_logits_low": tnt_low,
+               "fg_attention": fg_attention, "target_attention": target_attention}
+        return final, aux
+
+
+class HierarchicalHeadV4(nn.Module):
+    """V4: dual EnhancedUNet branches + cross-branch attention + fusion conv
+    (hierarchical_segmentation_unet.py:1338-1444). The reference's 4-dim
+    MultiheadAttention over HW tokens is kept as a single-head attention —
+    on TPU this is one small batched matmul pair."""
+
+    mid_channels: int = 256
+    mask_size: Tuple[int, int] = (56, 56)
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, train: bool = False):
+        kw = dict(norm=self.norm, norm_groups=self.norm_groups,
+                  activation=self.activation, activation_beta=self.activation_beta)
+        act = get_activation(self.activation, self.activation_beta)
+        mc = self.mid_channels
+        mh, mw = self.mask_size
+
+        shared = ConvNormAct(mc, name="shared_in", **kw)(features, train=train)
+        for i in range(3):
+            shared = ResidualBlock(mc, name=f"shared_res{i}", **kw)(shared, train=train)
+
+        def branch(name: str, base: int, depth: int):
+            low = EnhancedUNet(base_channels=base, depth=depth, name=f"{name}_unet", **kw)(shared, train=train)
+            u = ConvTranspose2x(64, name=f"{name}_deconv")(low)
+            u = get_normalization(self.norm, 64, min(self.norm_groups, 64), name=f"{name}_norm")(u, train=train)
+            u = act(u)
+            u = ResidualBlock(64, name=f"{name}_res", **kw)(u, train=train)
+            out = nn.Conv(2, (1, 1), name=f"{name}_out")(u)
+            if out.shape[1:3] != (mh, mw):
+                out = resize_bilinear(out, mh, mw)
+            return low, out
+
+        bg_fg_low, bg_fg_logits = branch("bgfg", 128, 4)
+        tnt_low, tnt_logits = branch("tnt", 96, 3)
+
+        # Cross-branch self-attention over the 4 concatenated logit channels
+        n = features.shape[0]
+        combined = jnp.concatenate([bg_fg_logits, tnt_logits], axis=-1)  # (N, mh, mw, 4)
+        tokens = combined.reshape(n, mh * mw, 4)
+        attended = nn.SelfAttention(num_heads=1, qkv_features=4, name="cross_attention")(tokens)
+        attended = attended.reshape(n, mh, mw, 4)
+
+        f = ConvNormAct(64, name="fusion_in", **kw)(attended, train=train)
+        f = ResidualBlock(64, name="fusion_res", **kw)(f, train=train)
+        final = nn.Conv(3, (1, 1), name="fusion_out")(f)
+
+        aux = {"bg_fg_logits": bg_fg_logits, "bg_fg_logits_low": bg_fg_low,
+               "target_nontarget_logits": tnt_logits, "target_logits_low": tnt_low,
+               "attended_features": attended}
+        return final, aux
+
+
 class BoundaryRefinement(nn.Module):
     """Edge-gated residual refinement of the 3-class logits
     (hierarchical_segmentation_refinement.py:58-149)."""

@@ -4,6 +4,7 @@ from .sampling import (
     bilinear_weight_matrix,
     roi_align,
     resize_bilinear,
+    upsample_2x_bilinear,
     grid_sample_positions,
 )
 from .morphology import max_pool2d, dilate, erode
@@ -14,6 +15,7 @@ __all__ = [
     "bilinear_weight_matrix",
     "roi_align",
     "resize_bilinear",
+    "upsample_2x_bilinear",
     "grid_sample_positions",
     "max_pool2d",
     "dilate",

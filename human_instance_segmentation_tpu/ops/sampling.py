@@ -143,6 +143,32 @@ def roi_align(
     return out.astype(dtype)
 
 
+def _upsample_2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x half-pixel bilinear upsample along one axis, elementwise.
+
+    out[2i]   = 0.25 * x[i-1] + 0.75 * x[i]     (edge-clamped)
+    out[2i+1] = 0.75 * x[i]   + 0.25 * x[i+1]
+    which is precisely ``F.interpolate(scale_factor=2, mode='bilinear',
+    align_corners=False)`` along that axis. Pure VPU work (two FMAs + an
+    interleave) — no dense interpolation matmul.
+    """
+    prev = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                            jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate([jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+                           jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] *= 2
+    return stacked.reshape(new_shape)
+
+
+def upsample_2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """2x spatial upsample of an NHWC tensor (half-pixel bilinear)."""
+    return _upsample_2x_axis(_upsample_2x_axis(x, 1), 2)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "method", "antialias"))
 def resize_bilinear(
     x: jnp.ndarray,
@@ -166,6 +192,8 @@ def resize_bilinear(
     dtype = x.dtype
     if (H, W) == (height, width):
         return x
+    if method == "half_pixel" and (height, width) == (2 * H, 2 * W):
+        return upsample_2x_bilinear(x)  # exact fast path, no matmul
 
     def positions(o: int, s: int) -> jnp.ndarray:
         j = jnp.arange(o, dtype=jnp.float32)

@@ -105,3 +105,24 @@ def test_roi_align_grad_flows(rng):
     g = jax.grad(lambda f: roi_align(f, rois, 4, 4, (16.0, 16.0), False).sum())(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_upsample_2x_matches_dense_and_torch(rng):
+    import jax.numpy as jnp
+    from human_instance_segmentation_tpu.ops.sampling import (
+        bilinear_weight_matrix, upsample_2x_bilinear, resize_bilinear)
+
+    x = rng.random((2, 7, 5, 3)).astype(np.float32)
+    fast = np.asarray(upsample_2x_bilinear(jnp.asarray(x)))
+    # resize_bilinear dispatches to the fast path at exactly 2x
+    via_resize = np.asarray(resize_bilinear(jnp.asarray(x), 14, 10))
+    np.testing.assert_allclose(fast, via_resize, atol=1e-6)
+
+    try:
+        import torch
+        import torch.nn.functional as F
+    except ImportError:
+        return
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+                        mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(fast, ref.numpy().transpose(0, 2, 3, 1), atol=1e-5)
