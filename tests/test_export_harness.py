@@ -1,0 +1,166 @@
+"""Export artifact round-trip, BN folding, harness, validation, viz tests."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_instance_segmentation_tpu.export import (
+    detect_architecture_from_name,
+    export_model,
+    fold_batch_stats,
+    load_exported,
+)
+from human_instance_segmentation_tpu.models.assembly import HierarchicalInstanceSegmenter
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = HierarchicalInstanceSegmenter(
+        encoder_variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
+        image_size=(64, 64), base_channels=16, depth=2, mid_channels=32,
+        feature_dim=32, unet_decoder_channels=(32, 24, 16, 16, 8))
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, images, rois, train=False))(
+        jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_detect_architecture():
+    assert detect_architecture_from_name("best_model_b0_64x48_0.8545_dil1") == "b0"
+    assert detect_architecture_from_name("..._from_b7_enhanced") == "b7"
+    assert detect_architecture_from_name("whatever") == "b1"
+
+
+def test_fold_batch_stats_is_equivalent(tiny_model, rng):
+    model, variables = tiny_model
+    images = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], jnp.float32)
+    ref, _ = model.apply(variables, images, rois, train=False)
+    folded = fold_batch_stats(jax.device_get(variables))
+    out, _ = model.apply(folded, images, rois, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # folded stats are identity
+    leaf_means = [np.asarray(v) for k, v in
+                  jax.tree_util.tree_flatten_with_path(folded["batch_stats"])[0]
+                  if "mean" in str(k[-1])]
+    assert all((m == 0).all() for m in leaf_means)
+
+
+def test_export_round_trip(tiny_model, tmp_path, rng):
+    model, variables = tiny_model
+    d = export_model(
+        str(tmp_path / "artifact"), model, jax.device_get(variables),
+        image_size=(64, 64), roi_size=(16, 12), mask_size=(32, 24),
+        dilation_pixels=1, roi_buckets=(2,), config_name="tiny_test")
+    meta = json.loads((Path(d) / "metadata.json").read_text())
+    assert meta["mask_size"] == [32, 24]
+    assert (Path(d) / "params.msgpack").exists()
+    assert (Path(d) / "model_n2.stablehlo").exists()
+
+    call, meta2 = load_exported(d)
+    images = rng.random((1, 64, 64, 3)).astype(np.float32)
+    rois = np.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], np.float32)
+    inst, binary = call(images, rois)
+    assert inst.shape == (1, 32, 24, 1)
+    assert binary.shape == (1, 64, 64, 1)
+    assert set(np.unique(inst)).issubset({0.0, 1.0})
+
+    # matches the live model (artifact was BN-folded; tolerance is fp-level)
+    from human_instance_segmentation_tpu.inference import deployed_outputs
+
+    logits, aux = model.apply(variables, jnp.asarray(images), jnp.asarray(rois), train=False)
+    ref_inst, ref_bin = deployed_outputs(logits, aux["full_image_logits"], jnp.asarray(rois), 1)
+    np.testing.assert_allclose(binary, np.asarray(ref_bin), atol=2e-4)
+
+
+def test_visualize_helpers(rng):
+    from human_instance_segmentation_tpu.visualize import (
+        colorize_classes, overlay_binary, overlay_instances, paste_mask_into_box,
+        validation_grid)
+
+    image = rng.random((32, 48, 3)).astype(np.float32)
+    full = paste_mask_into_box(np.ones((8, 6, 1), np.float32), [0.25, 0.25, 0.75, 0.75], (32, 48))
+    assert full.shape == (32, 48)
+    assert full[16, 24] > 0.5 and full[0, 0] == 0.0
+
+    inst = (rng.random((2, 8, 6, 1)) > 0.5).astype(np.float32)
+    boxes = np.asarray([[0.1, 0.1, 0.5, 0.5], [0.5, 0.5, 0.9, 0.9]], np.float32)
+    ov = overlay_instances(image, inst, boxes)
+    assert ov.shape == image.shape and ov.min() >= 0 and ov.max() <= 1
+
+    ob = overlay_binary(image, (rng.random((32, 48, 1)) > 0.5).astype(np.float32))
+    assert ob.shape == image.shape
+
+    grid = validation_grid(
+        image, gt_masks=rng.integers(0, 3, (2, 8, 6)),
+        pred_logits=rng.normal(size=(2, 8, 6, 3)).astype(np.float32),
+        boxes=boxes, binary_mask=(rng.random((32, 48, 1)) > 0.5).astype(np.float32))
+    assert grid.shape == (96, 96, 3)  # 3 rows x 2 cols
+
+    cc = colorize_classes(np.asarray([[0, 1], [2, 0]]))
+    assert cc.shape == (2, 2, 3)
+
+
+def test_validation_cli_synthetic():
+    from human_instance_segmentation_tpu.validate import run_validation
+
+    report = run_validation(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m64x48_disttrans_contdet_baware",
+        synthetic_batches=1, batch_size=1, tiny=True)
+    for key in ("target_miou", "detection_rate_0.5", "precision", "recall", "f1",
+                "instance_separation_accuracy", "cm3_normalized"):
+        assert key in report
+    assert 0.0 <= report["target_miou"] <= 1.0
+
+
+def test_harness_with_artifact(tiny_model, tmp_path, rng):
+    from human_instance_segmentation_tpu.export import export_model
+    from human_instance_segmentation_tpu.harness import run_harness
+    from PIL import Image
+
+    model, variables = tiny_model
+    d = export_model(
+        str(tmp_path / "artifact"), model, jax.device_get(variables),
+        image_size=(64, 64), roi_size=(16, 12), mask_size=(32, 24),
+        roi_buckets=(1, 2), config_name="tiny_test")
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for i in range(2):
+        Image.fromarray((rng.random((48, 64, 3)) * 255).astype(np.uint8)).save(
+            imgs / f"img{i}.jpg")
+
+    for mode in ("instance", "binary"):
+        written = run_harness(str(imgs), str(tmp_path / "out"), artifact=d, mode=mode)
+        assert len(written) == 2
+        for w in written:
+            assert Path(w).exists()
+
+
+def test_analyze_dataset():
+    from human_instance_segmentation_tpu.analyze import analyze_dataset
+    from human_instance_segmentation_tpu.data import COCOIndex
+
+    anns = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 64, "height": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "bbox": [8, 8, 32, 48], "iscrowd": 0,
+             # polygon covers only the left half of the bbox, so the second
+             # instance contributes non-target pixels inside this ROI
+             "segmentation": [[8, 8, 24, 8, 24, 56, 8, 56]]},
+            {"id": 2, "image_id": 1, "bbox": [30, 8, 26, 40], "iscrowd": 0,
+             "segmentation": [[30, 8, 56, 8, 56, 48, 30, 48]]},
+        ],
+    }
+    stats = analyze_dataset(COCOIndex(anns))
+    assert stats["num_images"] == 1 and stats["num_instances"] == 2
+    r = stats["pixel_ratios"]
+    assert abs(r["background"] + r["target"] + r["non_target"] - 1.0) < 1e-3
+    assert r["non_target"] > 0  # overlapping boxes produce class 2
+    assert stats["instance_count_histogram"] == {2: 1}
