@@ -10,6 +10,7 @@ from .sampling import (
 from .morphology import max_pool2d, dilate, erode
 from .activations import get_activation
 from .norms import get_normalization
+from .pallas_kernels import bilateral_filter_pallas, edge_smooth_pallas
 
 __all__ = [
     "bilinear_weight_matrix",
@@ -22,4 +23,6 @@ __all__ = [
     "erode",
     "get_activation",
     "get_normalization",
+    "bilateral_filter_pallas",
+    "edge_smooth_pallas",
 ]
