@@ -28,7 +28,15 @@ import numpy as np
 
 
 def rle_decode_counts(counts: Sequence[int], h: int, w: int) -> np.ndarray:
-    """Decode uncompressed column-major run lengths to an (h, w) uint8 mask."""
+    """Decode uncompressed column-major run lengths to an (h, w) uint8 mask.
+
+    Uses the native C++ codec (data/_native/rle.cpp) when available.
+    """
+    from . import native
+
+    out = native.rle_decode_native(counts, h, w)
+    if out is not None:
+        return out
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -58,6 +66,11 @@ def _leb_string_decode(s: Union[str, bytes]) -> List[int]:
     with delta coding from the second value on)."""
     if isinstance(s, str):
         s = s.encode("ascii")
+    from . import native
+
+    native_out = native.leb_decode_native(bytes(s))
+    if native_out is not None:
+        return native_out
     counts: List[int] = []
     i = 0
     while i < len(s):
@@ -109,8 +122,18 @@ def rle_decode(rle: Dict[str, Any]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
-    """Rasterise COCO polygon lists ([x1, y1, x2, y2, ...] flat) to a mask."""
+def polygons_to_mask(polygons: Sequence[Sequence[float]], h: int, w: int,
+                     use_native: bool = True) -> np.ndarray:
+    """Rasterise COCO polygon lists ([x1, y1, x2, y2, ...] flat) to a mask.
+
+    Prefers the native C++ scanline rasteriser; PIL fallback otherwise.
+    """
+    if use_native:
+        from . import native
+
+        out = native.rasterize_polygons_native(polygons, h, w)
+        if out is not None:
+            return out
     from PIL import Image, ImageDraw
 
     img = Image.new("L", (w, h), 0)
