@@ -135,11 +135,14 @@ def roi_align(
     wx = bilinear_weight_matrix(pos_x, W, "zeros", dtype)  # (N, ow, W)
 
     sel = jnp.take(features, batch_idx, axis=0)  # (N, H, W, C)
-    # Contract H then W; both products tile onto the MXU. HIGHEST precision:
-    # interpolation weights need full f32 mantissas (default TPU matmul is
-    # bf16) and these contractions are a negligible share of model FLOPs.
-    t = jnp.einsum("nyh,nhwc->nywc", wy, sel, precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("nxw,nywc->nyxc", wx, t, precision=jax.lax.Precision.HIGHEST)
+    # Contract H then W; both products tile onto the MXU. Precision policy:
+    # f32 features use HIGHEST (interpolation weights need full mantissas
+    # for grid_sample parity; default TPU matmul is bf16); bf16 serving
+    # accepts single-pass bf16 sampling — the activations carry <8 mantissa
+    # bits anyway, so the 6-pass emulation would buy nothing.
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    t = jnp.einsum("nyh,nhwc->nywc", wy, sel, precision=prec)
+    out = jnp.einsum("nxw,nywc->nyxc", wx, t, precision=prec)
     return out.astype(dtype)
 
 
