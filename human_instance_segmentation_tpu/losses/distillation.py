@@ -190,6 +190,41 @@ def unet_distillation_loss(
     return total, metrics
 
 
+def feature_matching_loss(
+    student_features: Dict[str, jnp.ndarray],
+    teacher_features: Dict[str, jnp.ndarray],
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Intermediate-feature matching KD (the YOLO-feature distillation
+    experiment, advanced/unet_yolo_feature_distillation.py): per-layer MSE
+    between (optionally channel-normalised) student and teacher feature
+    maps; spatial sizes are matched by bilinear resize."""
+    from ..ops.sampling import resize_bilinear
+
+    total = 0.0
+    metrics = {}
+    n = 0
+    for key, t in teacher_features.items():
+        if key not in student_features:
+            continue
+        s = student_features[key]
+        t = jax.lax.stop_gradient(t)
+        if s.shape[1:3] != t.shape[1:3]:
+            s = resize_bilinear(s, t.shape[1], t.shape[2])
+        if s.shape[-1] != t.shape[-1]:
+            continue  # caller should project channels first
+        if normalize:
+            s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-6)
+            t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-6)
+        l = jnp.mean((s - t) ** 2)
+        metrics[f"fm_{key}"] = l
+        total = total + l
+        n += 1
+    total = total / max(n, 1)
+    metrics["feature_matching_loss"] = total
+    return total, metrics
+
+
 def hierarchical_distillation_loss(
     student_logits: jnp.ndarray,
     teacher_logits: jnp.ndarray,

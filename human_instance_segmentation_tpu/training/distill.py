@@ -97,6 +97,84 @@ def make_distill_train_step(
         check_vma=False), donate_argnums=(0,))
 
 
+def make_hierarchical_distill_step(
+    student_model,
+    teacher_model,
+    teacher_variables: Any,
+    tx: optax.GradientTransformation,
+    loss_cfg,
+    temperature: float = 4.0,
+    alpha: float = 0.7,
+    aux_weight: float = 0.3,
+    mesh: Optional[Mesh] = None,
+):
+    """KD for the full ROI hierarchical model (DistillationLoss +
+    DistillationModelWrapper, knowledge_distillation.py:10-207): teacher and
+    student run in one jitted step; the KD term blends T^2-scaled softmax KL
+    on final + auxiliary logits with the refined hierarchical base loss.
+
+    Batch contract matches training.steps (images/boxes/masks/valid).
+    """
+    from ..losses.distillation import hierarchical_distillation_loss
+    from ..losses.hierarchical import refined_hierarchical_loss
+    from .steps import rois_from_boxes
+
+    axis = mesh.axis_names[0] if mesh is not None else None
+
+    def loss_fn(params, batch_stats, loss_state, rng, batch):
+        rois = rois_from_boxes(batch["boxes"])
+        t_logits, t_aux = teacher_model.apply(
+            teacher_variables, batch["images"], rois, train=False)
+        t_logits = jax.lax.stop_gradient(t_logits)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        s_logits, s_aux = student_model.apply(
+            variables, batch["images"], rois, train=True, rngs={"dropout": rng})
+        b, k = batch["boxes"].shape[:2]
+        mh, mw = batch["masks"].shape[-2:]
+        targets = batch["masks"].reshape(b * k, mh, mw)
+        valid = batch["valid"].reshape(b * k)
+        base, new_loss_state, metrics = refined_hierarchical_loss(
+            s_logits, targets, s_aux, loss_state, loss_cfg, valid=valid)
+        total, kd_metrics = hierarchical_distillation_loss(
+            s_logits, t_logits, s_aux, t_aux, base,
+            temperature=temperature, alpha=alpha, aux_weight=aux_weight)
+        metrics.update(kd_metrics)
+        return total, (new_loss_state, metrics)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (loss, (nls, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.loss_state, rng, batch)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+            nls = jax.lax.pmean(nls, axis)
+            loss = jax.lax.pmean(loss, axis)
+        ok = jnp.logical_and(jnp.isfinite(optax.global_norm(grads)), jnp.isfinite(loss))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(ok, x, y), a, b)
+        return state.replace(
+            step=state.step + 1,
+            params=sel(new_params, state.params),
+            opt_state=sel(new_opt, state.opt_state),
+            loss_state=sel(nls, state.loss_state),
+            skipped=state.skipped + jnp.where(ok, 0, 1).astype(state.skipped.dtype),
+        ), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(), P(axis)), out_specs=(P(), P()),
+        check_vma=False), donate_argnums=(0,))
+
+
 def epoch_update(
     state: TrainState,
     cfg: DistillationConfig,

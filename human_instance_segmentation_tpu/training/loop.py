@@ -173,6 +173,30 @@ def run_training(
                    shard_batch(mesh, host_batch) if mesh is not None else host_batch)
     n = float(ev["n"])
     last_metrics["eval_miou"] = float(ev["iou_sum"]) / max(n, 1.0)
+
+    # per-run validation visualisation (the reference renders curated scenes
+    # each epoch, visualize.py / hierarchical_unet_visualizer.py)
+    try:
+        from ..training.steps import rois_from_boxes
+        from ..visualize import save_image, validation_grid
+
+        variables = {"params": jax.device_get(state.params)}
+        bstats = jax.device_get(state.batch_stats)
+        if bstats:
+            variables["batch_stats"] = bstats
+        imgs = np.asarray(host_batch["images"][:1])
+        boxes = np.asarray(host_batch["boxes"][:1])
+        masks = np.asarray(host_batch["masks"][:1])
+        rois = rois_from_boxes(jnp.asarray(boxes))
+        logits, aux = model.apply(variables, jnp.asarray(imgs), rois, train=False)
+        grid = validation_grid(
+            imgs[0], masks[0], np.asarray(logits), boxes[0],
+            binary_mask=np.asarray(
+                jax.nn.softmax(aux["full_image_logits"], axis=-1)[0, ..., 0:1])
+            if "full_image_logits" in aux else None)
+        save_image(f"{out_dir}/visualizations/val_step{total_steps}.png", grid)
+    except Exception as e:  # viz must never kill a run
+        logger.text(f"visualization skipped: {e}")
     save_checkpoint(ckpt_dir, jax.device_get(state), total_steps)
     logger.text(f"done: {total_steps} steps, final loss "
                 f"{last_metrics.get('total_loss', float('nan')):.4f}, "
