@@ -187,9 +187,14 @@ class COCOPersonBinaryDataset:
 
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack per-image samples into the static train-batch contract."""
+    """Stack per-image samples into the static train-batch contract
+    (training.steps expects the plural 'images' key)."""
     keys = samples[0].keys()
-    return {k: np.stack([s[k] for s in samples]) for k in keys}
+    out = {k: np.stack([s[k] for s in samples]) for k in keys}
+    for single, plural in (("image", "images"), ("mask", "masks")):
+        if single in out and plural not in out:
+            out[plural] = out.pop(single)
+    return out
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,

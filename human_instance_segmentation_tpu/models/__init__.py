@@ -15,6 +15,7 @@ from .heads import (
 from .baseline import ROISegmentationHead, ROISegmentationModel
 from .multiscale import (
     FEATURE_SPECS,
+    FeaturePyramidFusion,
     ConvFeaturePyramid,
     MultiScaleRoIAlign,
     MultiScaleFeatureFusion,
@@ -56,6 +57,7 @@ __all__ = [
     "ROISegmentationModel",
     "FEATURE_SPECS",
     "ConvFeaturePyramid",
+    "FeaturePyramidFusion",
     "MultiScaleRoIAlign",
     "MultiScaleFeatureFusion",
     "MultiScaleSegmentationModel",

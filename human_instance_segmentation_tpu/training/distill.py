@@ -6,7 +6,7 @@ stop_gradient — with the binary KD loss (KL + MSE + BCE/Dice task mix),
 cosine temperature schedule, adaptive-alpha elimination, teacher-mIoU
 caching, and progressive encoder unfreezing expressed as optax masks.
 
-Batch contract: {"image": (B, H, W, 3), "mask": (B, H, W, 1)}.
+Batch contract: {"images": (B, H, W, 3), "masks": (B, H, W, 1)}.
 """
 
 from __future__ import annotations
@@ -55,15 +55,15 @@ def make_distill_train_step(
     axis = mesh.axis_names[0] if mesh is not None else None
 
     def loss_fn(params, batch_stats, distill_state, rng, batch):
-        t_logits = teacher.apply(teacher_variables, batch["image"], train=False)
+        t_logits = teacher.apply(teacher_variables, batch["images"], train=False)
         t_logits = jax.lax.stop_gradient(t_logits)
         s_logits, updates = student.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            {"params": params, "batch_stats": batch_stats}, batch["images"],
             train=True, mutable=["batch_stats"], rngs={"dropout": rng})
         loss, metrics = unet_distillation_loss(
-            s_logits, t_logits, batch["mask"], distill_state, cfg)
-        metrics["student_miou"] = binary_miou(jax.lax.stop_gradient(s_logits), batch["mask"])
-        metrics["teacher_miou"] = binary_miou(t_logits, batch["mask"])
+            s_logits, t_logits, batch["masks"], distill_state, cfg)
+        metrics["student_miou"] = binary_miou(jax.lax.stop_gradient(s_logits), batch["masks"])
+        metrics["teacher_miou"] = binary_miou(t_logits, batch["masks"])
         return loss, (updates["batch_stats"], metrics)
 
     def step(state: TrainState, batch):

@@ -38,7 +38,7 @@ def synthetic_binary_batches(batch: int, image_hw, seed: int = 0) -> Iterator[Di
         for b in range(batch):
             x1, y1 = rng.integers(0, iw // 2), rng.integers(0, ih // 2)
             masks[b, y1:y1 + ih // 2, x1:x1 + iw // 2, 0] = 1.0
-        yield {"image": rng.random((batch, ih, iw, 3), np.float32), "mask": masks}
+        yield {"images": rng.random((batch, ih, iw, 3), np.float32), "masks": masks}
 
 
 def run_distillation(
@@ -153,9 +153,9 @@ def run_distillation(
     @jax.jit
     def eval_miou(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
-        s = student.apply(variables, batch["image"], train=False)
-        t = teacher.apply(t_vars, batch["image"], train=False)
-        return binary_miou(s, batch["mask"]), binary_miou(t, batch["mask"])
+        s = student.apply(variables, batch["images"], train=False)
+        t = teacher.apply(t_vars, batch["images"], train=False)
+        return binary_miou(s, batch["masks"]), binary_miou(t, batch["masks"])
 
     if synthetic:
         batches = synthetic_binary_batches(batch, (ih, iw))

@@ -40,18 +40,26 @@ def rois_from_boxes(boxes: jnp.ndarray) -> jnp.ndarray:
 def make_loss_fn(model, loss_cfg: RefinedLossConfig):
     def loss_fn(params, batch_stats, loss_state, rng, batch):
         variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
         rois = rois_from_boxes(batch["boxes"])
-        logits, aux = model.apply(
-            variables, batch["images"], rois, train=True, rngs={"dropout": rng})
+        if batch_stats:
+            # BatchNorm models (unfrozen stage 1 / batchnorm-configured
+            # heads) update running stats in train mode.
+            variables["batch_stats"] = batch_stats
+            (logits, aux), updates = model.apply(
+                variables, batch["images"], rois, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            new_stats = updates["batch_stats"]
+        else:
+            logits, aux = model.apply(
+                variables, batch["images"], rois, train=True, rngs={"dropout": rng})
+            new_stats = batch_stats
         b, k = batch["boxes"].shape[:2]
         mh, mw = batch["masks"].shape[-2:]
         targets = batch["masks"].reshape(b * k, mh, mw)
         valid = batch["valid"].reshape(b * k)
         loss, new_loss_state, metrics = refined_hierarchical_loss(
             logits, targets, aux, loss_state, loss_cfg, valid=valid)
-        return loss, (new_loss_state, metrics)
+        return loss, (new_loss_state, new_stats, metrics)
 
     return loss_fn
 
@@ -62,7 +70,8 @@ def _tree_finite(tree) -> jnp.ndarray:
     return jnp.isfinite(optax.global_norm(tree))
 
 
-def _apply_step(state: TrainState, tx, grads, new_loss_state, loss) -> TrainState:
+def _apply_step(state: TrainState, tx, grads, new_loss_state, new_batch_stats,
+                loss) -> TrainState:
     """Grad update with the reference's NaN-batch skip
     (train_advanced.py:814-832): non-finite loss or grads leave params and
     optimizer state untouched (a zero-cost `where`, not control flow)."""
@@ -73,6 +82,7 @@ def _apply_step(state: TrainState, tx, grads, new_loss_state, loss) -> TrainStat
     return state.replace(
         step=state.step + 1,
         params=sel(new_params, state.params),
+        batch_stats=sel(new_batch_stats, state.batch_stats),
         opt_state=sel(new_opt, state.opt_state),
         loss_state=sel(new_loss_state, state.loss_state),
         skipped=state.skipped + jnp.where(ok, 0, 1).astype(state.skipped.dtype),
@@ -95,15 +105,16 @@ def make_train_step(
         rng = jax.random.fold_in(state.rng, state.step)
         if axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        (loss, (new_loss_state, metrics)), grads = jax.value_and_grad(
+        (loss, (new_loss_state, new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    state.loss_state, rng, batch)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             metrics = jax.lax.pmean(metrics, axis)
             new_loss_state = jax.lax.pmean(new_loss_state, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
             loss = jax.lax.pmean(loss, axis)
-        new_state = _apply_step(state, tx, grads, new_loss_state, loss)
+        new_state = _apply_step(state, tx, grads, new_loss_state, new_stats, loss)
         return new_state, metrics
 
     if mesh is None:

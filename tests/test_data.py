@@ -106,7 +106,7 @@ def test_instance_dataset_batching(synthetic_coco, image_dir):
     batches = list(batch_iterator(ds, batch_size=2, shuffle=True, seed=0))
     assert len(batches) == 1
     b = batches[0]
-    assert b["image"].shape == (2, 96, 128, 3)
+    assert b["images"].shape == (2, 96, 128, 3)
     assert b["boxes"].shape == (2, 4, 4)
     assert b["masks"].shape == (2, 4, 32, 24)
     assert b["valid"].shape == (2, 4)

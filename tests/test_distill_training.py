@@ -32,8 +32,8 @@ def test_binary_distill_step():
                               distill_state=DistillationState.create(temperature=4.0))
     step = make_distill_train_step(student, teacher, t_vars, tx, DistillationConfig())
     rng = np.random.default_rng(0)
-    batch = {"image": rng.random((2, 32, 32, 3), np.float32),
-             "mask": (rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32)}
+    batch = {"images": rng.random((2, 32, 32, 3), np.float32),
+             "masks": (rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32)}
     old_stats = jax.device_get(state.batch_stats)  # state is donated below
     new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1

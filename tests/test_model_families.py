@@ -130,3 +130,21 @@ def test_auxiliary_head_and_multitask_loss():
                                      aux_weight=0.3, pos_weight=2.27)
     assert float(total) > 1.0
     assert np.isfinite(float(metrics["aux_fg_bg_loss"]))
+
+
+def test_feature_pyramid_fusion():
+    from human_instance_segmentation_tpu.models.multiscale import FeaturePyramidFusion
+
+    feats = {
+        "layer_3": jnp.zeros((1, 16, 16, 256)),
+        "layer_22": jnp.zeros((1, 8, 8, 512)),
+        "layer_34": jnp.zeros((1, 8, 8, 1024)),
+    }
+    for method in ("fpn", "concat", "sum"):
+        m = FeaturePyramidFusion(out_channels=32, fusion_method=method)
+        params = m.init(RNG, feats)
+        out = m.apply(params, feats)
+        assert set(out) == set(feats), method
+        for layer, f in out.items():
+            assert f.shape[:3] == feats[layer].shape[:3]
+            assert f.shape[-1] == 32
