@@ -44,21 +44,30 @@ def main():
         ], axis=1))
 
     # Chain iterations inside one XLA program with a data dependency between
-    # them: host-side block_until_ready is not a reliable fence on every
-    # remote-device transport, but in-graph dependencies are.
-    iters = 10
+    # them (host-side block_until_ready is not a reliable fence on every
+    # remote-device transport), and take the SLOPE between two chain lengths
+    # so fixed per-call costs cancel.
+    def make_chain(iters):
+        @jax.jit
+        def chained(params, images, rois):
+            def body(i, carry):
+                inst, binary = infer(params, images + carry, rois)
+                return (jnp.mean(inst) * 1e-12).astype(images.dtype)
+            return jax.lax.fori_loop(0, iters, body,
+                                     jnp.asarray(0.0, images.dtype))
+        return chained
 
-    @jax.jit
-    def chained(params, images, rois):
-        def body(i, carry):
-            inst, binary = infer(params, images + carry, rois)
-            return jnp.mean(inst) * 1e-12
-        return jax.lax.fori_loop(0, iters, body, 0.0)
-
-    float(chained(params, images, rois))  # compile + warm
+    i1, i2 = 5, 25
+    c1, c2 = make_chain(i1), make_chain(i2)
+    float(c1(params, images, rois))  # compile + warm
+    float(c2(params, images, rois))
     t0 = time.perf_counter()
-    float(chained(params, images, rois))
-    dt = (time.perf_counter() - t0) / iters
+    float(c1(params, images, rois))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(c2(params, images, rois))
+    d2 = time.perf_counter() - t0
+    dt = (d2 - d1) / (i2 - i1)
 
     imgs_per_sec = batch / dt
     baseline = 211.0  # img/s, B0 TRT 1-ROI
