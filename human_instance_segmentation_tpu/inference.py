@@ -120,6 +120,17 @@ class InferenceEngine:
         inst, binary, _ = fn(self.params, jnp.asarray(images, self.dtype), jnp.asarray(rois_p))
         return np.asarray(inst[:n]), np.asarray(binary)
 
+    def predict_nchw(self, images: np.ndarray, rois: np.ndarray):
+        """Reference-compatible entry point: NCHW in, NCHW out.
+
+        Mirrors the ONNX graph contract exactly
+        (test_hierarchical_instance_peopleseg_onnx.py:570-573):
+        images (B, 3, H, W) in [0,1], rois (N, 5) ->
+        instance_masks (N, 1, mh, mw), binary_masks (B, 1, H, W).
+        """
+        inst, binary = self(np.transpose(np.asarray(images), (0, 2, 3, 1)), rois)
+        return np.transpose(inst, (0, 3, 1, 2)), np.transpose(binary, (0, 3, 1, 2))
+
     def warmup(self, batch: int = 1, buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)):
         ih, iw = self.model.image_size
         img = jnp.zeros((batch, ih, iw, 3), self.dtype)

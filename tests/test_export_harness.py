@@ -164,3 +164,19 @@ def test_analyze_dataset():
     assert abs(r["background"] + r["target"] + r["non_target"] - 1.0) < 1e-3
     assert r["non_target"] > 0  # overlapping boxes produce class 2
     assert stats["instance_count_histogram"] == {2: 1}
+
+
+def test_nchw_compat_api(tiny_model, rng):
+    from human_instance_segmentation_tpu.inference import InferenceEngine
+
+    model, variables = tiny_model
+    eng = InferenceEngine(model, variables, dilation_pixels=0)
+    images_nchw = rng.random((1, 3, 64, 64)).astype(np.float32)
+    rois = np.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], np.float32)
+    inst, binary = eng.predict_nchw(images_nchw, rois)
+    assert inst.shape == (1, 1, 32, 24)     # (N, 1, mh, mw) like the ONNX graph
+    assert binary.shape == (1, 1, 64, 64)   # (B, 1, H, W)
+    # consistent with the NHWC path
+    inst2, binary2 = eng(images_nchw.transpose(0, 2, 3, 1), rois)
+    np.testing.assert_array_equal(inst[:, 0], inst2[..., 0])
+    np.testing.assert_array_equal(binary[:, 0], binary2[..., 0])
