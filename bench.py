@@ -20,8 +20,7 @@ def main():
     from human_instance_segmentation_tpu.inference import (
         cast_floating, create_flagship, deployed_outputs)
 
-    batch = 32         # saturating batch (throughput plateaus ~32 on v5e)
-    n_rois = batch     # 1 ROI per image, the baseline's shape
+    batch = 32         # saturating batch (throughput plateaus ~32 on v5e); 1 ROI per image, the baseline's shape
     ih, iw = 480, 640
 
     model, params = create_flagship(

@@ -93,6 +93,19 @@ def run_training(
 
     steps_per_epoch = 100 if synthetic else 1000  # refined once data is real
     n_epochs = epochs if epochs is not None else cfg.training.num_epochs
+    # Real data defines steps_per_epoch; build it BEFORE the LR schedule so
+    # cosine decay spans the true training length.
+    if not synthetic:
+        from ..data import COCOInstanceSegmentationDataset, DatasetConfig, batch_iterator
+        from ..data.augment import AugmentConfig
+
+        ds = COCOInstanceSegmentationDataset(
+            cfg.data.train_annotation, cfg.data.train_img_dir,
+            DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw),
+                          rois_per_image=k, roi_padding=cfg.data.roi_padding),
+            augment=AugmentConfig() if cfg.data.use_augmentation else None)
+        steps_per_epoch = max(len(ds) // batch_size, 1)
+
     total_steps = steps if steps > 0 else n_epochs * steps_per_epoch
 
     schedule = build_schedule(
@@ -135,16 +148,6 @@ def run_training(
     if synthetic:
         batches = synthetic_batches(batch_size, k, (ih, iw), (mh, mw))
     else:
-        from ..data import COCOInstanceSegmentationDataset, DatasetConfig, batch_iterator
-        from ..data.augment import AugmentConfig
-
-        ds = COCOInstanceSegmentationDataset(
-            cfg.data.train_annotation, cfg.data.train_img_dir,
-            DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw),
-                          rois_per_image=k, roi_padding=cfg.data.roi_padding),
-            augment=AugmentConfig() if cfg.data.use_augmentation else None)
-        steps_per_epoch = max(len(ds) // batch_size, 1)
-
         def forever():
             epoch = 0
             while True:
