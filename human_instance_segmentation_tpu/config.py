@@ -112,6 +112,9 @@ class TrainingConfig:
     dice_weight: float = 1.0
     use_focal: bool = False
     focal_gamma: float = 2.0
+    # Staged freezing: epoch -> stage flags (staged_training.py:10-242);
+    # keys: freeze_pretrained / freeze_rgb_extractor / freeze_head / lr_scale
+    stage_schedule: Dict[int, Dict[str, Any]] = field(default_factory=dict)
 
 
 @dataclass
@@ -230,6 +233,8 @@ class ExperimentConfig:
                         d[k] = tuple(v)
                 if group_cls is DistillationConfig and "unfreeze_schedule" in d:
                     d["unfreeze_schedule"] = {int(k): int(v) for k, v in d["unfreeze_schedule"].items()}
+                if group_cls is TrainingConfig and "stage_schedule" in d:
+                    d["stage_schedule"] = {int(k): dict(v) for k, v in d["stage_schedule"].items()}
                 data[key] = group_cls(**d)
         return cls(**data)
 

@@ -18,6 +18,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation (SURVEY §2.9's comm-backend replacement:
+    `jax.distributed.initialize` + XLA collectives over ICI/DCN instead of
+    NCCL/MPI). On a single host this is a no-op returning the local device
+    count; on a slice it must run on every host before device use."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.device_count()
+
+
 def create_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
     devices = jax.devices()

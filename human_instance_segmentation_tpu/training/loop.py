@@ -156,9 +156,42 @@ def run_training(
 
         batches = forever()
 
+    # Staged freezing (staged_training.py equivalent): at configured epoch
+    # boundaries, relabel parameter groups via optax masks — optimizer
+    # moments are re-initialised like the reference's optimizer rebuild.
+    stage_schedule = dict(cfg.training.stage_schedule or {})
+
+    def apply_stage(epoch: int, state, train_step, tx):
+        from .optim import StageConfig, stage_rules, staged_optimizer
+        import optax as _optax
+
+        flags = stage_schedule[epoch]
+        stage = StageConfig(
+            name=f"epoch{epoch}",
+            freeze_pretrained=bool(flags.get("freeze_pretrained", True)),
+            freeze_rgb_extractor=bool(flags.get("freeze_rgb_extractor", False)),
+            freeze_head=bool(flags.get("freeze_head", False)),
+            lr_scale=float(flags.get("lr_scale", 1.0)),
+        )
+        scaled = _optax.chain(
+            _optax.clip_by_global_norm(cfg.training.gradient_clip),
+            _optax.adamw(lambda s: schedule(s) * stage.lr_scale,
+                         weight_decay=cfg.training.weight_decay))
+        params_host = jax.device_get(state.params)
+        new_tx = staged_optimizer(
+            {"train": scaled, "frozen": _optax.set_to_zero()},
+            params_host, stage_rules(stage))
+        opt_state = new_tx.init(params_host)
+        state = state.replace(opt_state=replicate(mesh, opt_state) if mesh is not None else opt_state)
+        logger.text(f"stage change at epoch {epoch}: {flags}")
+        return state, make_train_step(model, new_tx, loss_cfg, mesh=mesh), new_tx
+
     last_metrics: Dict[str, float] = {}
     t0 = time.perf_counter()
     for i in range(total_steps):
+        epoch = i // steps_per_epoch
+        if i % steps_per_epoch == 0 and epoch in stage_schedule:
+            state, train_step, tx = apply_stage(epoch, state, train_step, tx)
         host_batch = next(batches)
         device_batch = shard_batch(mesh, host_batch) if mesh is not None else host_batch
         state, metrics = train_step(state, device_batch)
