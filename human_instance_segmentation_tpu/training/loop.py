@@ -148,13 +148,11 @@ def run_training(
     if synthetic:
         batches = synthetic_batches(batch_size, k, (ih, iw), (mh, mw))
     else:
-        def forever():
-            epoch = 0
-            while True:
-                yield from batch_iterator(ds, batch_size, shuffle=True, seed=epoch)
-                epoch += 1
+        from ..data.loader import ThreadedLoader
 
-        batches = forever()
+        loader = ThreadedLoader(ds, batch_size, num_workers=cfg.data.num_workers,
+                                shuffle=True, prefetch=cfg.data.prefetch)
+        batches = loader.forever()
 
     # Staged freezing (staged_training.py equivalent): at configured epoch
     # boundaries, relabel parameter groups via optax masks — optimizer

@@ -163,3 +163,26 @@ def test_filtering():
     ds = COCOInstanceSegmentationDataset(idx, "/nonexistent", cfg)
     assert len(ds.samples) == 1
     assert ds.samples[0][1] == [3]
+
+
+def test_threaded_loader(synthetic_coco, image_dir):
+    from human_instance_segmentation_tpu.data.loader import ThreadedLoader, prefetch_to_device
+
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=4, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(synthetic_coco, str(image_dir), cfg)
+    loader = ThreadedLoader(ds, batch_size=2, num_workers=2, shuffle=True, prefetch=2)
+    assert len(loader) == 1
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1
+    assert batches[0]["images"].shape == (2, 96, 128, 3)
+
+    # deterministic given the seed+epoch
+    b2 = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]["images"], b2[0]["images"])
+
+    # device prefetch wraps any iterator
+    dev = list(prefetch_to_device(iter(batches), size=2))
+    assert len(dev) == 1
+    import jax
+    assert isinstance(jax.tree.leaves(dev[0])[0], jax.Array)
