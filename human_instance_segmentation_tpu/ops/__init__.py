@@ -11,6 +11,7 @@ from .morphology import max_pool2d, dilate, erode
 from .activations import get_activation
 from .norms import get_normalization
 from .pallas_kernels import bilateral_filter_pallas, edge_smooth_pallas
+from .pallas_roi_align import roi_align_pallas
 
 __all__ = [
     "bilinear_weight_matrix",
@@ -25,4 +26,5 @@ __all__ = [
     "get_normalization",
     "bilateral_filter_pallas",
     "edge_smooth_pallas",
+    "roi_align_pallas",
 ]
