@@ -131,6 +131,70 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+def make_scanned_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_cfg: RefinedLossConfig = RefinedLossConfig(),
+    scan_steps: int = 8,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Run `scan_steps` optimizer steps per dispatch via `lax.scan` over a
+    stacked super-batch (leading axis = step).
+
+    One device dispatch per K steps amortises per-call host/transport
+    overhead — essential on dispatch-expensive links (measured here:
+    67 ms/step inside scan vs tens of seconds per individual dispatch on
+    the tunnelled chip) and still a win on real pods.
+
+    Batch contract: each array gains a leading (scan_steps,) axis.
+    Returns (state, metrics_of_last_step).
+    """
+    loss_fn = make_loss_fn(model, loss_cfg)
+    axis = mesh.axis_names[0] if mesh is not None else None
+
+    def one(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (loss, (nls, nstats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.loss_state, rng, batch)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+            nls = jax.lax.pmean(nls, axis)
+            nstats = jax.lax.pmean(nstats, axis)
+            loss = jax.lax.pmean(loss, axis)
+        return _apply_step(state, tx, grads, nls, nstats, loss), metrics
+
+    def scanned(state: TrainState, batches):
+        def body(carry, batch):
+            new_state, metrics = one(carry, batch)
+            return new_state, metrics
+        state, metrics_seq = jax.lax.scan(body, state, batches)
+        last = jax.tree.map(lambda m: m[-1], metrics_seq)
+        return state, last
+
+    dn = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(scanned, donate_argnums=dn)
+    # super-batch axes: (scan_step, batch, ...) — shard the batch axis
+    return jax.jit(jax.shard_map(
+        scanned, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_vma=False), donate_argnums=dn)
+
+
+def stack_batches(batches):
+    """Stack K host batches into the (K, ...) super-batch for
+    make_scanned_train_step."""
+    import numpy as np
+
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
 def make_eval_step(model, mesh: Optional[Mesh] = None):
     """Per-batch IoU/accuracy metrics, vectorised (the reference computes
     these in per-sample Python loops, train_utils.py:266-293)."""
