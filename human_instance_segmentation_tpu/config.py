@@ -471,6 +471,7 @@ def model_from_config(cfg: ExperimentConfig):
         HierarchicalInstanceSegmenter,
         MultiScaleRGBHierarchicalModel,
         PureRGBHierarchicalModel,
+        ROIPretrainedHierarchicalModel,
     )
     from .models.baseline import ROISegmentationModel
     from .models.multiscale import VariableROISegmentationModel
@@ -507,5 +508,12 @@ def model_from_config(cfg: ExperimentConfig):
             base_channels=m.hierarchical_base_channels,
             depth=m.hierarchical_depth,
             freeze_pretrained=m.freeze_pretrained_weights,
+            **common)
+    if m.use_pretrained_unet:
+        # ROI-cropped pretrained UNet (rgb.py:442-561): the UNet runs per
+        # ROI crop, not on the full image.
+        return ROIPretrainedHierarchicalModel(
+            encoder_variant=m.encoder_name, roi_size=roi, mask_size=mask,
+            image_size=img, freeze_pretrained=m.freeze_pretrained_weights,
             **common)
     return PureRGBHierarchicalModel(roi_size=roi, mask_size=mask, image_size=img, **common)

@@ -69,7 +69,8 @@ class COCOInstanceSegmentationDataset:
         self.image_dir = Path(image_dir)
         self.cfg = cfg
         self.augment_cfg = augment
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.samples: List[Tuple[int, List[int]]] = []  # (img_id, valid ann ids)
         for img_id in self.coco.get_img_ids():
@@ -91,6 +92,9 @@ class COCOInstanceSegmentationDataset:
 
     def __len__(self) -> int:
         return len(self.samples)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def _roi_box_pixels(self, bbox, sx: float, sy: float) -> Tuple[int, int, int, int]:
         """Scaled, padded, min-size-enforced pixel box (dataset.py:125-146)."""
@@ -147,7 +151,10 @@ class COCOInstanceSegmentationDataset:
         sample = {"image": image, "boxes": boxes, "masks": masks, "valid": valid,
                   "image_id": np.asarray(img_id, np.int64)}
         if self.augment_cfg is not None:
-            sample = augment_sample(sample, self.rng, self.augment_cfg)
+            # Fresh generator per call: np Generators are not thread-safe and
+            # ThreadedLoader calls __getitem__ from several workers at once.
+            rng = np.random.default_rng((self.seed, self._epoch, idx))
+            sample = augment_sample(sample, rng, self.augment_cfg)
         return sample
 
 
@@ -162,12 +169,16 @@ class COCOPersonBinaryDataset:
         self.image_dir = Path(image_dir)
         self.image_size = image_size
         self.augment_cfg = augment
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.img_ids = [i for i in self.coco.get_img_ids()
                         if self.coco.get_ann_ids(i, iscrowd=False)]
 
     def __len__(self) -> int:
         return len(self.img_ids)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         img_id = self.img_ids[idx]
@@ -180,8 +191,9 @@ class COCOPersonBinaryDataset:
         mask = _resize_mask_nearest(union, (ih, iw)).astype(np.float32)[..., None]
         sample = {"image": image, "full_mask": mask[..., 0]}
         if self.augment_cfg is not None:
+            rng = np.random.default_rng((self.seed, self._epoch, idx))
             sample = augment_sample({"image": image, "boxes": np.zeros((0, 4), np.float32),
-                                     "full_mask": mask[..., 0]}, self.rng, self.augment_cfg)
+                                     "full_mask": mask[..., 0]}, rng, self.augment_cfg)
         return {"image": sample["image"].astype(np.float32),
                 "mask": sample["full_mask"][..., None].astype(np.float32)}
 

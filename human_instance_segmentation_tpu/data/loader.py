@@ -40,6 +40,8 @@ class ThreadedLoader:
         return n
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
@@ -54,12 +56,20 @@ class ThreadedLoader:
             return collate([self.dataset[int(i)] for i in idxs])
 
         def producer():
+            # Submit lazily: at most num_workers + prefetch batches in flight,
+            # so a stalled consumer (compile, checkpoint save) bounds host RAM
+            # instead of letting the pool race an epoch ahead.
+            max_inflight = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(build, s) for s in starts]
-                for f in futures:
+                pending = [pool.submit(build, s) for s in starts[:max_inflight]]
+                next_start = max_inflight
+                for f in pending:  # appended to while iterating
                     if stop.is_set():
                         break
                     q.put(f.result())
+                    if next_start < len(starts):
+                        pending.append(pool.submit(build, starts[next_start]))
+                        next_start += 1
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -33,6 +33,7 @@ from .extras import (
 )
 from .assembly import (
     HierarchicalInstanceSegmenter,
+    ROIPretrainedHierarchicalModel,
     PureRGBHierarchicalModel,
     MultiScaleRGBHierarchicalModel,
     RGBFeatureExtractor,
@@ -70,6 +71,7 @@ __all__ = [
     "cascade_loss",
     "multi_task_loss",
     "HierarchicalInstanceSegmenter",
+    "ROIPretrainedHierarchicalModel",
     "PureRGBHierarchicalModel",
     "MultiScaleRGBHierarchicalModel",
     "RGBFeatureExtractor",

@@ -186,6 +186,70 @@ class HierarchicalInstanceSegmenter(nn.Module):
         return logits, aux
 
 
+class ROIPretrainedHierarchicalModel(nn.Module):
+    """ROI-cropped pretrained-UNet model
+    (``HierarchicalRGBSegmentationModelWithPretrainedUNet``,
+    hierarchical_segmentation_rgb.py:442-561).
+
+    Unlike the flagship, the pretrained people-seg UNet runs on each *ROI
+    crop* (not the full image): RoIAlign RGB patch -> frozen/unfrozen UNet
+    -> 2ch bg/fg logits -> feature processor (2->64->128->256 with residual
+    blocks) -> HierarchicalHeadV2.
+    """
+
+    encoder_variant: str = "b3"
+    roi_size: Tuple[int, int] = (64, 48)
+    mask_size: Tuple[int, int] = (64, 48)
+    image_size: Tuple[int, int] = (640, 640)
+    feature_dim: int = 256
+    use_attention_module: bool = False
+    norm: str = "layernorm2d"
+    norm_groups: int = 8
+    activation: str = "relu"
+    activation_beta: float = 1.0
+    freeze_pretrained: bool = False
+    unet_decoder_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+
+    @nn.compact
+    def __call__(self, images, rois, train: bool = False):
+        ih, iw = self.image_size
+        rh, rw = self.roi_size
+        patches = roi_align(images, rois, rh, rw,
+                            spatial_scale=(float(ih), float(iw)), aligned=True)
+
+        unet = PeopleSegmentationUNet(
+            encoder_variant=self.encoder_variant,
+            decoder_channels=self.unet_decoder_channels, name="pretrained_unet")
+        x1 = unet(patches, train=False if self.freeze_pretrained else train)
+        bg_fg_logits = PeopleSegUNetWrapper(name="unet_wrapper")(x1)
+        if self.freeze_pretrained:
+            bg_fg_logits = jax.lax.stop_gradient(bg_fg_logits)
+
+        # feature processor (rgb.py:504-521): 2->64 (+res) ->128 (+res) ->256
+        kw = dict(norm=self.norm, activation=self.activation,
+                  activation_beta=self.activation_beta)
+        x = bg_fg_logits
+        for i, ch in enumerate((64, 128)):
+            x = ConvNormAct(ch, norm_groups=min(self.norm_groups, ch),
+                            name=f"proc_conv{i}", **kw)(x, train=train)
+            x = ResidualBlock(ch, norm_groups=min(self.norm_groups, ch),
+                              name=f"proc_res{i}", **kw)(x, train=train)
+        feats = ConvNormAct(self.feature_dim,
+                            norm_groups=min(self.norm_groups, self.feature_dim),
+                            name="proc_out", **kw)(x, train=train)
+
+        logits, aux = HierarchicalHeadV2(
+            mid_channels=256, mask_size=self.mask_size,
+            use_attention_module=self.use_attention_module,
+            norm=self.norm, norm_groups=self.norm_groups,
+            activation=self.activation, activation_beta=self.activation_beta,
+            name="head",
+        )(feats, train=train)
+        aux["pretrained_bg_fg_logits"] = bg_fg_logits
+        aux["roi_patches"] = patches
+        return logits, aux
+
+
 class PureRGBHierarchicalModel(nn.Module):
     """RGB-only hierarchical model (no pretrained stage)
     (hierarchical_segmentation_rgb.py:298-439)."""

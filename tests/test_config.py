@@ -110,6 +110,56 @@ def test_model_from_config_dispatch():
     assert isinstance(model_from_config(plain), PureRGBHierarchicalModel)
 
 
+def test_registry_families_build_claimed_architectures():
+    """Every registry family dispatches to the model its name claims
+    (VERDICT r1: pretrained_peopleseg configs silently built PureRGB)."""
+    from human_instance_segmentation_tpu.models.assembly import (
+        HierarchicalInstanceSegmenter, PureRGBHierarchicalModel,
+        ROIPretrainedHierarchicalModel)
+    from human_instance_segmentation_tpu.models.baseline import ROISegmentationModel
+
+    expectations = {
+        "baseline": ROISegmentationModel,
+        "rgb_hierarchical_unet_v2": PureRGBHierarchicalModel,
+        "rgb_hierarchical_unet_v2_attention_r64m64": PureRGBHierarchicalModel,
+        "rgb_hierarchical_unet_v2_pretrained_peopleseg_r64x48m64x48":
+            ROIPretrainedHierarchicalModel,
+        "rgb_hierarchical_unet_v2_pretrained_peopleseg_frozen_r64x48m64x48":
+            ROIPretrainedHierarchicalModel,
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m64x48_disttrans_contdet_baware": HierarchicalInstanceSegmenter,
+    }
+    for name, cls in expectations.items():
+        m = model_from_config(ConfigManager.get_config(name))
+        assert isinstance(m, cls), f"{name} built {type(m).__name__}, wanted {cls.__name__}"
+
+    frozen = model_from_config(ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_pretrained_peopleseg_frozen_r64x48m64x48"))
+    assert frozen.freeze_pretrained
+
+
+def test_roi_pretrained_model_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from human_instance_segmentation_tpu.models.assembly import (
+        ROIPretrainedHierarchicalModel)
+
+    model = ROIPretrainedHierarchicalModel(
+        encoder_variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
+        image_size=(64, 64), feature_dim=32,
+        unet_decoder_channels=(32, 24, 16, 16, 8))
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray([[0, 0.1, 0.1, 0.9, 0.9], [1, 0.2, 0.2, 0.7, 0.8]],
+                       jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, imgs, rois, train=False))(
+        jax.random.PRNGKey(0))
+    logits, aux = model.apply(variables, imgs, rois, train=False)
+    assert logits.shape == (2, 32, 24, 3)
+    assert aux["pretrained_bg_fg_logits"].shape == (2, 16, 12, 2)
+    assert aux["roi_patches"].shape == (2, 16, 12, 3)
+
+
 def test_unknown_config_raises():
     with pytest.raises(KeyError):
         ConfigManager.get_config("definitely_not_a_config")
