@@ -173,6 +173,12 @@ class DistillationConfig:
     distill_logits: bool = True
     distill_features: bool = False
     freeze_teacher: bool = True
+    # YOLO feature-matching distillation (the reference smuggles these
+    # through feature_match_layers strings, config_manager.py:4975-4989)
+    feature_match_layer: str = ""
+    feature_match_loss: str = "mse"
+    feature_match_weight: float = 0.5
+    feature_match_hidden_dim: int = 768
     # Temperature progression (real fields)
     use_temperature_scheduling: bool = False
     initial_temperature: float = 10.0
@@ -375,19 +381,39 @@ def _build_registry() -> Dict[str, ExperimentConfig]:
         use_distance_transform=True, use_contour_detection=True,
         use_boundary_aware_loss=True, hierarchical_base_channels=96)
 
-    for arch, ((rh, rw), (mh, mw)) in FLAGSHIP_SIZES.items():
-        for enhanced in (False, True):
-            name = ("rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
-                    f"r{rh}x{rw}m{mh}x{mw}_disttrans_contdet_baware_from_{arch}"
-                    + ("_enhanced" if enhanced else ""))
-            r[name] = _base_v2(
-                name, (rh, rw), (mh, mw), use_pretrained_unet=True,
-                use_full_image_unet=True, freeze_pretrained_weights=True,
-                use_distance_transform=True, use_contour_detection=True,
-                use_boundary_aware_loss=True, encoder_name=arch,
-                hierarchical_base_channels=128 if enhanced else 96,
-                hierarchical_depth=4 if enhanced else 3,
-            )
+    # Full-image family grid: exact reference name set (capital-B arch tags,
+    # config_manager.py fullimage block) plus lowercase aliases for CLI
+    # ergonomics. mask = 2x roi throughout.
+    _FULLIMAGE_ROIS = {
+        "B0": [(32, 24), (64, 48), (80, 60), (96, 72), (112, 84), (128, 96)],
+        "B1": [(32, 24), (64, 48), (80, 60), (96, 72), (112, 84), (128, 96)],
+        "B7": [(64, 48), (80, 60)],
+    }
+    _FULLIMAGE_ENHANCED = {
+        "B0": [(64, 48), (80, 60)],
+        "B1": [(64, 48), (80, 60)],
+        "B7": [(64, 48), (80, 60), (128, 96)],
+    }
+
+    def _fullimage(name, arch, rh, rw, enhanced):
+        return _base_v2(
+            name, (rh, rw), (rh * 2, rw * 2), use_pretrained_unet=True,
+            use_full_image_unet=True, freeze_pretrained_weights=True,
+            use_distance_transform=True, use_contour_detection=True,
+            use_boundary_aware_loss=True, encoder_name=arch.lower(),
+            hierarchical_base_channels=128 if enhanced else 96,
+            hierarchical_depth=4 if enhanced else 3,
+        )
+
+    for grid, enhanced in ((_FULLIMAGE_ROIS, False), (_FULLIMAGE_ENHANCED, True)):
+        for arch, sizes in grid.items():
+            for rh, rw in sizes:
+                stem = ("rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+                        f"r{rh}x{rw}m{rh * 2}x{rw * 2}_disttrans_contdet_baware_from_")
+                suffix = "_enhanced" if enhanced else ""
+                for tag in (arch, arch.lower()):
+                    name = stem + tag + suffix
+                    r[name] = _fullimage(name, arch, rh, rw, enhanced)
 
     # Binary-UNet distillation family (temperature progression)
     for student, teacher in [("b0", "b3"), ("b0", "b7"), ("b1", "b3"), ("b1", "b7"),
@@ -411,6 +437,30 @@ def _build_registry() -> Dict[str, ExperimentConfig]:
                     unfreeze_schedule={10: 2, 20: 4, 30: 7} if variant == "_temp_prog" else {},
                 ),
             )
+
+    # YOLO feature-alignment distillation (config_manager.py:4922-5017):
+    # UNet-only KD from B3 with MSE feature matching against YOLOv9
+    # intermediate features (here: ConvFeaturePyramid stand-in features).
+    yname = "rgb_hierarchical_unet_v2_distillation_b0_from_b3_yolo"
+    r[yname] = ExperimentConfig(
+        name=yname,
+        description="UNet distillation B3->B0 with YOLO feature alignment",
+        model=ModelConfig(encoder_name="b0", use_rgb_hierarchical=False,
+                          use_hierarchical_unet_v2=False,
+                          normalization_type="batchnorm"),
+        training=TrainingConfig(learning_rate=1e-4, warmup_epochs=5,
+                                num_epochs=50, batch_size=4,
+                                dice_weight=1.0, ce_weight=0.5),
+        distillation=DistillationConfig(
+            enabled=True, student_encoder="b0", teacher_encoder="b3",
+            temperature=3.0, alpha=0.3, distill_logits=True,
+            distill_features=True,
+            feature_match_layer="layer_34", feature_match_loss="mse",
+            feature_match_weight=0.5, feature_match_hidden_dim=768,
+            use_temperature_scheduling=True, initial_temperature=3.0,
+            final_temperature=1.0, temperature_schedule="cosine"),
+        data=DataConfig(use_heavy_augmentation=True),
+    )
 
     r["rgb_hierarchical_unet_v2_finetune_b7"] = ExperimentConfig(
         name="rgb_hierarchical_unet_v2_finetune_b7",
@@ -462,6 +512,48 @@ def parse_sizes_from_name(name: str) -> Tuple[Optional[Tuple[int, int]], Optiona
     if m:
         return (int(m[1]), int(m[1])), (int(m[2]), int(m[2]))
     return None, None
+
+
+def loss_config_from_experiment(cfg: ExperimentConfig):
+    """Build the RefinedLossConfig a config describes — TrainingConfig's
+    ce/dice/focal knobs, data_stats-derived class weights
+    (train_advanced.py:999-1003 -> build_loss_function), the model's
+    refinement flags, and the DistanceLossConfig group."""
+    from .losses.distance_aware import DistanceAwareLossConfig
+    from .losses.hierarchical import HierarchicalLossConfig, RefinedLossConfig
+    from .losses.segmentation import class_weights_from_pixel_ratios
+
+    t = cfg.training
+    final_w = None
+    stats_path = Path(cfg.data.data_stats)
+    if stats_path.exists():
+        stats = json.loads(stats_path.read_text())
+        ratios = stats.get("pixel_ratios")
+        if ratios:
+            final_w = class_weights_from_pixel_ratios(ratios)
+
+    base = HierarchicalLossConfig(
+        bg_weight=1.5, fg_weight=1.5, target_weight=1.2, consistency_weight=0.3,
+        ce_weight=t.ce_weight, dice_weight=t.dice_weight,
+        use_focal=t.use_focal, focal_gamma=t.focal_gamma,
+        final_class_weights=final_w)
+
+    da = None
+    if cfg.distance_loss.enabled:
+        da = DistanceAwareLossConfig(
+            boundary_weight=cfg.distance_loss.boundary_weight,
+            separation_weight=cfg.distance_loss.instance_sep_weight,
+            max_distance=max(cfg.distance_loss.boundary_width, 1))
+
+    return RefinedLossConfig(
+        base=base,
+        use_contour_detection=cfg.model.use_contour_detection,
+        use_distance_transform=cfg.model.use_distance_transform,
+        use_active_contour_loss=cfg.model.use_active_contour_loss,
+        use_boundary_aware_loss=cfg.model.use_boundary_aware_loss,
+        base_mask_size=_as_hw(cfg.model.mask_size),
+        distance_aware=da,
+    )
 
 
 def model_from_config(cfg: ExperimentConfig):

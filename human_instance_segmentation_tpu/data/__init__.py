@@ -6,6 +6,7 @@ from .dataset import (
     COCOPersonBinaryDataset,
     DatasetConfig,
     batch_iterator,
+    padded_batch_iterator,
     collate,
 )
 from .augment import AugmentConfig, augment_sample, hflip
@@ -13,6 +14,6 @@ from .augment import AugmentConfig, augment_sample, hflip
 __all__ = [
     "COCOIndex", "ann_to_mask", "polygons_to_mask", "rle_decode", "rle_encode",
     "COCOInstanceSegmentationDataset", "COCOPersonBinaryDataset",
-    "DatasetConfig", "batch_iterator", "collate",
+    "DatasetConfig", "batch_iterator", "padded_batch_iterator", "collate",
     "AugmentConfig", "augment_sample", "hflip",
 ]

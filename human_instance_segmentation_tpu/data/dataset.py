@@ -222,3 +222,26 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True, seed: int = 0
         if len(idxs) < batch_size and drop_last:
             break
         yield collate([dataset[int(i)] for i in idxs])
+
+
+def padded_batch_iterator(dataset, batch_size: int, shuffle: bool = False,
+                          seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Full-size batches covering EVERY sample: the final ragged batch is
+    padded by wrapping earlier samples with their ``valid`` mask zeroed, so
+    XLA sees one static shape (a ragged tail batch costs a recompile per
+    validation sweep). Only for ROI datasets that carry a ``valid`` key."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idxs = list(order[start:start + batch_size])
+        n_real = len(idxs)
+        while len(idxs) < batch_size:
+            idxs.append(int(order[(len(idxs) - n_real) % len(order)]))
+        batch = collate([dataset[int(i)] for i in idxs])
+        if n_real < batch_size:
+            if "valid" not in batch:
+                raise ValueError("padded_batch_iterator needs a 'valid' key "
+                                 "to mask pad samples")
+            batch["valid"][n_real:] = 0.0
+        yield batch

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.morphology import dilate, erode, max_pool2d
-from .segmentation import cross_entropy, dice_loss
+from .distance_aware import DistanceAwareLossConfig, distance_aware_loss
+from .segmentation import cross_entropy, dice_loss, focal_loss
 
 
 @flax.struct.dataclass
@@ -57,6 +58,12 @@ class HierarchicalLossConfig:
     dice_weight: float = 1.0
     ce_weight: float = 1.0
     ema_alpha: float = 0.9
+    # Final 3-class term options (losses.py:204-277 via TrainingConfig):
+    use_focal: bool = False
+    focal_gamma: float = 2.0
+    # data_stats-derived [bg, target, non_target] weights
+    # (train_advanced.py:999-1003 -> build_loss_function)
+    final_class_weights: Optional[Tuple[float, float, float]] = None
 
 
 def hierarchical_loss(
@@ -129,8 +136,15 @@ def hierarchical_loss(
     target_nontarget_loss = jnp.sum(tn_ce * fg_mask) / jnp.clip(jnp.sum(fg_mask), 1.0, None)
     target_nontarget_loss = jnp.where(fg_total > 0, target_nontarget_loss, 0.0)
 
-    # ---- final 3-class CE + consistency + Dice(target) ----
-    final_loss = cross_entropy(predictions, targets, valid=valid)
+    # ---- final 3-class CE (or focal) + consistency + Dice(target) ----
+    fcw = (jnp.asarray(cfg.final_class_weights, f32)
+           if cfg.final_class_weights is not None else None)
+    if cfg.use_focal:
+        final_loss = focal_loss(predictions, targets, gamma=cfg.focal_gamma,
+                                alpha=fcw, valid=valid)
+    else:
+        final_loss = cross_entropy(predictions, targets, class_weights=fcw,
+                                   valid=valid)
 
     bg_fg_probs = jax.nn.softmax(aux["bg_fg_logits"], axis=-1)
     final_probs = jax.nn.softmax(predictions, axis=-1)
@@ -272,6 +286,10 @@ class RefinedLossConfig:
     use_distance_transform: bool = True
     base_mask_size: Tuple[int, int] = (64, 48)
     auto_adjust_contour_weight: bool = True
+    # Optional distance-aware CE/Dice term (DistanceLossConfig group,
+    # advanced/distance_aware_loss.py:200-380)
+    distance_aware: Optional[DistanceAwareLossConfig] = None
+    distance_aware_weight: float = 1.0
 
 
 def refined_hierarchical_loss(
@@ -330,6 +348,13 @@ def refined_hierarchical_loss(
         dloss = jnp.clip(dloss, None, 10.0)
         total = total + cfg.distance_loss_weight * dloss
         metrics["distance_transform"] = dloss
+
+    if cfg.distance_aware is not None:
+        da, da_metrics = distance_aware_loss(
+            predictions, targets, cfg.distance_aware, valid=valid)
+        total = total + cfg.distance_aware_weight * da
+        metrics["distance_aware"] = da
+        metrics["distance_aware_weighted_ce"] = da_metrics["weighted_ce"]
 
     metrics["total_loss"] = total
     return total, new_state, metrics

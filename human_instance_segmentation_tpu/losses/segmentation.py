@@ -115,10 +115,13 @@ def segmentation_loss(
 
 def class_weights_from_pixel_ratios(
     pixel_ratios: Dict[str, float], use_log_weights: bool = True
-) -> jnp.ndarray:
+):
     """Derive [bg, target, non_target] class weights from dataset pixel
     ratios (create_loss_function, losses.py:204-277): log-inverse (or plain
-    inverse) frequency, normalised to sum to 3."""
+    inverse) frequency, normalised to sum to 3.
+
+    Returns a plain tuple of floats (callable at config-build time without
+    initialising the JAX backend)."""
     import math
 
     eps = 1e-3
@@ -128,4 +131,4 @@ def class_weights_from_pixel_ratios(
     else:
         w = [1.0 / (pixel_ratios[k] + eps) for k in keys]
     s = sum(w)
-    return jnp.asarray([v / s * 3.0 for v in w], jnp.float32)
+    return tuple(v / s * 3.0 for v in w)

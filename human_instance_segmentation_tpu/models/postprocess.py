@@ -84,6 +84,120 @@ def edge_smooth_binary_mask(mask: jnp.ndarray, threshold: float = 0.5, blur_stre
     return (smoothed > threshold).astype(mask.dtype)
 
 
+_SOBEL_X = _np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], _np.float32)
+_SOBEL_Y = _np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], _np.float32)
+_BLUR5_1D = _np.array([0.1, 0.2, 0.4, 0.2, 0.1], _np.float32)
+_DIAG1 = _np.array([[0.1, 0, 0], [0, 0.8, 0], [0, 0, 0.1]], _np.float32)
+_DIAG2 = _np.array([[0, 0, 0.1], [0, 0.8, 0], [0.1, 0, 0]], _np.float32)
+
+
+def _depthwise(x: jnp.ndarray, kernel2d) -> jnp.ndarray:
+    k2 = jnp.asarray(kernel2d, x.dtype)
+    c = x.shape[-1]
+    kh, kw = k2.shape
+    k = jnp.broadcast_to(k2[:, :, None, None], (kh, kw, 1, c))
+    return lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+@jax.jit
+def directional_edge_smooth(mask: jnp.ndarray) -> jnp.ndarray:
+    """Direction-aware edge smoothing (DirectionalEdgeSmoothing,
+    export_edge_smoothing_onnx.py:63-154): Sobel orientation -> blend of
+    horizontal / vertical / diagonal blur kernels weighted by cos^2/sin^2 of
+    the edge angle -> sigmoid(3*magnitude) blend -> re-binarise.
+
+    mask: (B, H, W, C) binary float.
+    """
+    m = mask.astype(jnp.float32)
+    ex = _depthwise(m, _SOBEL_X)
+    ey = _depthwise(m, _SOBEL_Y)
+    mag = jnp.sqrt(ex ** 2 + ey ** 2 + 1e-8)
+    ang = jnp.arctan2(ey, ex)
+
+    blur_h = _depthwise(m, _BLUR5_1D[None, :])
+    blur_v = _depthwise(m, _BLUR5_1D[:, None])
+    blur_d1 = _depthwise(m, _DIAG1)
+    blur_d2 = _depthwise(m, _DIAG2)
+
+    wh = jnp.cos(ang) ** 2
+    wv = jnp.sin(ang) ** 2
+    wd1 = jnp.cos(ang - jnp.pi / 4) ** 2 * 0.5
+    wd2 = jnp.cos(ang + jnp.pi / 4) ** 2 * 0.5
+    s = wh + wv + wd1 + wd2 + 1e-8
+    blurred = (blur_h * wh + blur_v * wv + blur_d1 * wd1 + blur_d2 * wd2) / s
+
+    ew = jax.nn.sigmoid(mag * 3.0)
+    smoothed = m * (1.0 - ew) + blurred * ew
+    return (smoothed > 0.5).astype(mask.dtype)
+
+
+@jax.jit
+def adaptive_edge_smooth(mask: jnp.ndarray, blur_strength: jnp.ndarray,
+                         edge_sensitivity: jnp.ndarray,
+                         final_threshold: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample parameterised smoothing (AdaptiveEdgeSmoothing,
+    export_edge_smoothing_onnx.py:158-213): runtime blur_strength (1-5),
+    edge_sensitivity (0.5-2), final_threshold (0.3-0.7), each (B,) or (B,1).
+
+    mask: (B, H, W, C) binary float.
+    """
+    m = mask.astype(jnp.float32)
+    b = m.shape[0]
+    bs = blur_strength.reshape(b, 1, 1, 1).astype(jnp.float32)
+    es = edge_sensitivity.reshape(b, 1, 1, 1).astype(jnp.float32)
+    ft = final_threshold.reshape(b, 1, 1, 1).astype(jnp.float32)
+
+    edges = jnp.abs(_depthwise(m, _LAPLACIAN))
+    edge_mask = (edges > 0.5 * es).astype(jnp.float32)
+    box5 = jnp.full((5, 5), 1.0 / 25.0, jnp.float32)
+    smoothed_base = _depthwise(m, box5)
+    blur_factor = bs / 3.0
+    smoothed = m * (1.0 - blur_factor) + smoothed_base * blur_factor
+    result = m * (1.0 - edge_mask) + smoothed * edge_mask
+    return (result > ft).astype(mask.dtype)
+
+
+_GAUSS5_1D = _np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], _np.float32)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def optimized_edge_smooth(mask: jnp.ndarray, dtype: str = "bfloat16") -> jnp.ndarray:
+    """Throughput variant (OptimizedEdgeSmoothing,
+    export_edge_smoothing_onnx.py:216-318): separable 5-tap Gaussian,
+    fused-multiply-add blend, and the fast sigmoid approximation
+    clip((x+0.5)*0.5, 0, 1), computed in reduced precision (the reference's
+    fp16 flag; bf16 is the TPU-native equivalent)."""
+    cdt = jnp.dtype(dtype)
+    m = mask.astype(cdt)
+    edges = _depthwise(m, _LAPLACIAN)
+    edge_abs_scaled = jnp.abs(edges) * jnp.asarray(3.0, cdt)
+    blurred = _depthwise(_depthwise(m, _GAUSS5_1D[None, :]), _GAUSS5_1D[:, None])
+    edge_w = jnp.clip((edge_abs_scaled + 0.5) * 0.5, 0.0, 1.0)
+    smoothed = m * (1.0 - edge_w) + blurred * edge_w
+    return (smoothed > 0.5).astype(mask.dtype)
+
+
+@partial(jax.jit, static_argnames=("iterations", "variant"))
+def multiclass_edge_smooth(logits: jnp.ndarray, iterations: int = 1,
+                           variant: str = "basic") -> jnp.ndarray:
+    """Smooth each argmax class plane and return per-class binary masks
+    (MultiClassEdgeSmoothing, edge_smoothing.py:95-172).
+
+    logits: (B, H, W, C) -> (B, H, W, C) smoothed {0,1} per-class masks.
+    """
+    c = logits.shape[-1]
+    pred = jnp.argmax(logits, axis=-1)
+    planes = jax.nn.one_hot(pred, c, dtype=logits.dtype)
+    fn = {"basic": edge_smooth_binary_mask,
+          "directional": directional_edge_smooth,
+          "optimized": optimized_edge_smooth}[variant]
+    for _ in range(iterations):
+        planes = fn(planes)
+    return planes
+
+
 def _gaussian_kernel_1d(kernel_size: int, sigma: float) -> jnp.ndarray:
     coords = jnp.arange(kernel_size, dtype=jnp.float32) - (kernel_size - 1) / 2
     k = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))

@@ -43,6 +43,7 @@ def make_distill_train_step(
     tx: optax.GradientTransformation,
     cfg: DistillationConfig = DistillationConfig(),
     mesh: Optional[Mesh] = None,
+    compute_dtype: Optional[str] = None,
 ):
     """One fused step: teacher fwd (no grad) + student fwd/bwd + KD loss.
 
@@ -50,21 +51,35 @@ def make_distill_train_step(
     (train_distillation_staged.py:306-308); here both forwards sit in the
     same XLA program so the teacher's activations never round-trip to HBM
     unfused, and batch-norm batch statistics update for the student (train
-    mode) while the teacher always uses running stats.
+    mode) while the teacher always uses running stats. ``compute_dtype``
+    (e.g. bfloat16) casts both forwards; KD loss and masters stay f32.
     """
+    from .steps import _cast_floating
+
     axis = mesh.axis_names[0] if mesh is not None else None
+    cdt = (jnp.dtype(compute_dtype)
+           if compute_dtype not in (None, "float32", "f32") else None)
+    t_vars_c = _cast_floating(teacher_variables, cdt) if cdt else teacher_variables
 
     def loss_fn(params, batch_stats, distill_state, rng, batch):
-        t_logits = teacher.apply(teacher_variables, batch["images"], train=False)
+        images = batch["images"].astype(cdt) if cdt else batch["images"]
+        t_logits = teacher.apply(t_vars_c, images, train=False)
         t_logits = jax.lax.stop_gradient(t_logits)
+        s_params = _cast_floating(params, cdt) if cdt else params
+        s_stats = _cast_floating(batch_stats, cdt) if cdt else batch_stats
         s_logits, updates = student.apply(
-            {"params": params, "batch_stats": batch_stats}, batch["images"],
+            {"params": s_params, "batch_stats": s_stats}, images,
             train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        new_stats = updates["batch_stats"]
+        if cdt:
+            s_logits = s_logits.astype(jnp.float32)
+            t_logits = t_logits.astype(jnp.float32)
+            new_stats = _cast_floating(new_stats, jnp.float32)
         loss, metrics = unet_distillation_loss(
             s_logits, t_logits, batch["masks"], distill_state, cfg)
         metrics["student_miou"] = binary_miou(jax.lax.stop_gradient(s_logits), batch["masks"])
         metrics["teacher_miou"] = binary_miou(t_logits, batch["masks"])
-        return loss, (updates["batch_stats"], metrics)
+        return loss, (new_stats, metrics)
 
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)

@@ -144,11 +144,24 @@ def run_distillation(
         if prev is not None:
             state, prev_step = restore_checkpoint(ckpt_dir, jax.device_get(state))
             start_epoch = prev_step
+            # Replay the unfreeze schedule up to the resume point: entries at
+            # epochs < start_epoch only fire on exact match in the loop, so
+            # without this a resumed run silently re-freezes encoder stages.
+            past = [v for e, v in dc.unfreeze_schedule.items() if e <= start_epoch]
+            if dc.progressive_unfreeze and past:
+                num_unfrozen = max(past)
+                tx = optimizer_for(num_unfrozen)
+                opt0 = tx.init(jax.device_get(state.params))
+                state = state.replace(
+                    opt_state=opt0 if mesh is None else replicate(mesh, opt0))
+                logger.text(f"resume: replayed unfreeze -> {num_unfrozen} stages")
             if mesh is not None:
                 state = replicate(mesh, state)
             logger.text(f"resumed from epoch {prev_step}")
 
-    train_step = make_distill_train_step(student, teacher, t_vars, tx, kd_cfg, mesh=mesh)
+    train_step = make_distill_train_step(
+        student, teacher, t_vars, tx, kd_cfg, mesh=mesh,
+        compute_dtype=cfg.training.compute_dtype)
 
     @jax.jit
     def eval_miou(params, batch_stats, batch):
@@ -159,6 +172,9 @@ def run_distillation(
 
     if synthetic:
         batches = synthetic_binary_batches(batch, (ih, iw))
+        # held-out batches from a distinct seed stand in for the val set
+        _vgen = synthetic_binary_batches(batch, (ih, iw), seed=1234)
+        val_batches = [next(_vgen) for _ in range(2)]
     else:
         from ..data import COCOPersonBinaryDataset, batch_iterator
 
@@ -173,6 +189,11 @@ def run_distillation(
                 e += 1
 
         batches = forever()
+        val_ds = COCOPersonBinaryDataset(cfg.data.val_annotation, cfg.data.val_img_dir,
+                                         image_size=(ih, iw))
+        val_batches = list(batch_iterator(val_ds, batch, shuffle=False, drop_last=True))
+        if not val_batches:  # val set smaller than one batch
+            val_batches = [next(batches)]
 
     teacher_miou_cache: Optional[float] = None
     best_student = 0.0
@@ -186,7 +207,9 @@ def run_distillation(
             state = state.replace(opt_state=tx.init(jax.device_get(state.params))
                                   if mesh is None else
                                   replicate(mesh, tx.init(jax.device_get(state.params))))
-            train_step = make_distill_train_step(student, teacher, t_vars, tx, kd_cfg, mesh=mesh)
+            train_step = make_distill_train_step(
+                student, teacher, t_vars, tx, kd_cfg, mesh=mesh,
+                compute_dtype=cfg.training.compute_dtype)
             logger.text(f"epoch {epoch}: unfroze last {num_unfrozen} encoder stages")
 
         t0 = time.perf_counter()
@@ -197,11 +220,19 @@ def run_distillation(
         metrics = {k: float(v) for k, v in jax.device_get(m).items()}
         logger.metrics(epoch, metrics)
 
-        # validation: one held-out batch (full loop would sweep val set)
-        vb = next(batches)
-        s_iou, t_iou = jax.device_get(eval_miou(state.params, state.batch_stats, vb))
+        # validation: sweep the held-out set; adaptive elimination is
+        # permanent, so it must be driven by val mIoU averaged over the whole
+        # sweep (reference: full val-set mIoU,
+        # train_distillation_staged.py:369-583), never a single train batch.
+        s_sum = t_sum = 0.0
+        for vb in val_batches:
+            s_i, t_i = jax.device_get(eval_miou(state.params, state.batch_stats, vb))
+            s_sum += float(s_i)
+            t_sum += float(t_i)
+        s_iou = s_sum / len(val_batches)
         if teacher_miou_cache is None:
-            teacher_miou_cache = float(t_iou)  # frozen teacher: cache once
+            # frozen teacher: evaluate once over the same sweep and cache
+            teacher_miou_cache = t_sum / len(val_batches)
         state = epoch_update(state, kd_cfg, epoch, n_epochs,
                              student_iou=float(s_iou), teacher_iou=teacher_miou_cache)
         logger.text(

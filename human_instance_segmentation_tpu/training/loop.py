@@ -57,8 +57,8 @@ def run_training(
     import jax.numpy as jnp
     import optax
 
-    from ..config import ConfigManager, _as_hw, model_from_config
-    from ..losses.hierarchical import RefinedLossConfig, HierarchicalLossConfig
+    from ..config import (ConfigManager, _as_hw, loss_config_from_experiment,
+                          model_from_config)
     from ..parallel.mesh import create_mesh, replicate, shard_batch
     from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
     from .logging import TrainLogger
@@ -103,7 +103,8 @@ def run_training(
             cfg.data.train_annotation, cfg.data.train_img_dir,
             DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw),
                           rois_per_image=k, roi_padding=cfg.data.roi_padding),
-            augment=AugmentConfig() if cfg.data.use_augmentation else None)
+            augment=AugmentConfig(heavy=cfg.data.use_heavy_augmentation)
+            if cfg.data.use_augmentation else None)
         steps_per_epoch = max(len(ds) // batch_size, 1)
 
     total_steps = steps if steps > 0 else n_epochs * steps_per_epoch
@@ -134,25 +135,51 @@ def run_training(
                 state = replicate(mesh, state)
             logger.text(f"resumed from step {prev_step}")
 
-    loss_cfg = RefinedLossConfig(
-        base=HierarchicalLossConfig(bg_weight=1.5, fg_weight=1.5, target_weight=1.2,
-                                    consistency_weight=0.3),
-        use_contour_detection=cfg.model.use_contour_detection,
-        use_distance_transform=cfg.model.use_distance_transform,
-        use_active_contour_loss=cfg.model.use_active_contour_loss,
-        use_boundary_aware_loss=cfg.model.use_boundary_aware_loss,
-    )
-    train_step = make_train_step(model, tx, loss_cfg, mesh=mesh)
+    # Loss fully config-driven: ce/dice/focal weights, data_stats class
+    # weights, refinement flags, DistanceLossConfig (VERDICT r1 item 7).
+    loss_cfg = loss_config_from_experiment(cfg)
+    compute_dtype = cfg.training.compute_dtype
+    train_step = make_train_step(model, tx, loss_cfg, mesh=mesh,
+                                 compute_dtype=compute_dtype)
     eval_step = make_eval_step(model, mesh=mesh)
 
     if synthetic:
         batches = synthetic_batches(batch_size, k, (ih, iw), (mh, mw))
+        # fixed held-out batches (distinct seed) stand in for the val set
+        _val_gen = synthetic_batches(batch_size, k, (ih, iw), (mh, mw), seed=1234)
+        _val_fixed = [next(_val_gen) for _ in range(2)]
+
+        def val_iter():
+            return iter(_val_fixed)
     else:
+        from ..data import padded_batch_iterator
         from ..data.loader import ThreadedLoader
 
         loader = ThreadedLoader(ds, batch_size, num_workers=cfg.data.num_workers,
                                 shuffle=True, prefetch=cfg.data.prefetch)
         batches = loader.forever()
+        val_ds = COCOInstanceSegmentationDataset(
+            cfg.data.val_annotation, cfg.data.val_img_dir,
+            DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw),
+                          rois_per_image=k, roi_padding=cfg.data.roi_padding))
+
+        def val_iter():
+            return padded_batch_iterator(val_ds, batch_size)
+
+    def validation_sweep(state) -> Dict[str, float]:
+        """Held-out sweep through the shared eval step: target mIoU +
+        detection rates (the reference's per-epoch validate loop,
+        train_advanced.py:1571-1629)."""
+        sums = None
+        for vb in val_iter():
+            db = shard_batch(mesh, vb) if mesh is not None else vb
+            m = jax.device_get(eval_step((state.params, state.batch_stats), db))
+            sums = m if sums is None else {k2: sums[k2] + m[k2] for k2 in sums}
+        n = max(float(sums["n"]), 1.0)
+        return {"val_miou": float(sums["iou_sum"]) / n,
+                "val_det50": float(sums["det50_sum"]) / n,
+                "val_det70": float(sums["det70_sum"]) / n,
+                "val_n": n}
 
     # Staged freezing (staged_training.py equivalent): at configured epoch
     # boundaries, relabel parameter groups via optax masks — optimizer
@@ -171,9 +198,13 @@ def run_training(
             freeze_head=bool(flags.get("freeze_head", False)),
             lr_scale=float(flags.get("lr_scale", 1.0)),
         )
+        # Rebuilding the optimizer resets its inner step count; offset the
+        # schedule by the global step so cosine decay continues instead of
+        # restarting from its peak at every stage boundary.
+        step_at_switch = epoch * steps_per_epoch
         scaled = _optax.chain(
             _optax.clip_by_global_norm(cfg.training.gradient_clip),
-            _optax.adamw(lambda s: schedule(s) * stage.lr_scale,
+            _optax.adamw(lambda s: schedule(s + step_at_switch) * stage.lr_scale,
                          weight_decay=cfg.training.weight_decay))
         params_host = jax.device_get(state.params)
         new_tx = staged_optimizer(
@@ -182,11 +213,19 @@ def run_training(
         opt_state = new_tx.init(params_host)
         state = state.replace(opt_state=replicate(mesh, opt_state) if mesh is not None else opt_state)
         logger.text(f"stage change at epoch {epoch}: {flags}")
-        return state, make_train_step(model, new_tx, loss_cfg, mesh=mesh), new_tx
+        return state, make_train_step(model, new_tx, loss_cfg, mesh=mesh,
+                                      compute_dtype=compute_dtype), new_tx
+
+    best_dir = f"{out_dir}/checkpoints_best"
+    best_miou = -1.0
+    epochs_since_best = 0
+    patience = cfg.training.early_stopping_patience
 
     last_metrics: Dict[str, float] = {}
     t0 = time.perf_counter()
-    for i in range(total_steps):
+    i = 0
+    stopped_early = False
+    while i < total_steps and not stopped_early:
         epoch = i // steps_per_epoch
         if i % steps_per_epoch == 0 and epoch in stage_schedule:
             state, train_step, tx = apply_stage(epoch, state, train_step, tx)
@@ -203,10 +242,32 @@ def run_training(
             save_checkpoint(ckpt_dir, jax.device_get(state), i + 1)
             logger.text(f"checkpoint at step {i + 1}")
 
-    ev = eval_step((state.params, state.batch_stats),
-                   shard_batch(mesh, host_batch) if mesh is not None else host_batch)
-    n = float(ev["n"])
-    last_metrics["eval_miou"] = float(ev["iou_sum"]) / max(n, 1.0)
+        # epoch boundary: held-out validation + best-mIoU selection
+        # (train_advanced.py:1587-1599) + early stopping
+        i += 1
+        at_epoch_end = i % steps_per_epoch == 0
+        finished = i == total_steps
+        if (at_epoch_end and (epoch + 1) % max(cfg.training.validate_every, 1) == 0) or finished:
+            vm = validation_sweep(state)
+            last_metrics.update(vm)
+            logger.metrics(i, vm)
+            logger.text(f"epoch {epoch}: val mIoU {vm['val_miou']:.4f} "
+                        f"det@0.5 {vm['val_det50']:.4f} (n={vm['val_n']:.0f})")
+            if vm["val_miou"] > best_miou:
+                best_miou = vm["val_miou"]
+                epochs_since_best = 0
+                save_checkpoint(best_dir, jax.device_get(state), i,
+                                metadata={"val_miou": best_miou, "epoch": epoch})
+                logger.text(f"new best val mIoU {best_miou:.4f} (checkpointed)")
+            elif at_epoch_end:
+                epochs_since_best += 1
+                if patience and epochs_since_best >= patience:
+                    logger.text(f"early stop: no val improvement for {patience} epochs")
+                    stopped_early = True
+
+    total_steps = i
+    last_metrics["eval_miou"] = last_metrics.get("val_miou", 0.0)
+    last_metrics["best_val_miou"] = best_miou
 
     # per-run validation visualisation (the reference renders curated scenes
     # each epoch, visualize.py / hierarchical_unet_visualizer.py)

@@ -37,22 +37,43 @@ def rois_from_boxes(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([idx, boxes.reshape(b * k, 4)], axis=-1)
 
 
-def make_loss_fn(model, loss_cfg: RefinedLossConfig):
+def _cast_floating(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
+def make_loss_fn(model, loss_cfg: RefinedLossConfig,
+                 compute_dtype: Optional[str] = None):
+    """Loss closure; with ``compute_dtype`` (e.g. "bfloat16") the forward and
+    backward run in that dtype (the TPU analogue of the reference's
+    AMP+GradScaler, train_advanced.py:660-700) while master params, optimizer
+    state, BN running stats, and the loss itself stay float32."""
+    cdt = (jnp.dtype(compute_dtype)
+           if compute_dtype not in (None, "float32", "f32") else None)
+
     def loss_fn(params, batch_stats, loss_state, rng, batch):
-        variables = {"params": params}
+        apply_params = _cast_floating(params, cdt) if cdt else params
+        images = batch["images"].astype(cdt) if cdt else batch["images"]
+        variables = {"params": apply_params}
         rois = rois_from_boxes(batch["boxes"])
         if batch_stats:
             # BatchNorm models (unfrozen stage 1 / batchnorm-configured
             # heads) update running stats in train mode.
-            variables["batch_stats"] = batch_stats
+            variables["batch_stats"] = (_cast_floating(batch_stats, cdt)
+                                        if cdt else batch_stats)
             (logits, aux), updates = model.apply(
-                variables, batch["images"], rois, train=True,
+                variables, images, rois, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             new_stats = updates["batch_stats"]
         else:
             logits, aux = model.apply(
-                variables, batch["images"], rois, train=True, rngs={"dropout": rng})
+                variables, images, rois, train=True, rngs={"dropout": rng})
             new_stats = batch_stats
+        if cdt:
+            logits = logits.astype(jnp.float32)
+            aux = _cast_floating(aux, jnp.float32)
+            new_stats = _cast_floating(new_stats, jnp.float32)
         b, k = batch["boxes"].shape[:2]
         mh, mw = batch["masks"].shape[-2:]
         targets = batch["masks"].reshape(b * k, mh, mw)
@@ -95,10 +116,11 @@ def make_train_step(
     loss_cfg: RefinedLossConfig = RefinedLossConfig(),
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step; with a mesh it is shard_mapped
     data-parallel (params replicated, batch sharded, grads pmean over ICI)."""
-    loss_fn = make_loss_fn(model, loss_cfg)
+    loss_fn = make_loss_fn(model, loss_cfg, compute_dtype=compute_dtype)
     axis = mesh.axis_names[0] if mesh is not None else None
 
     def step(state: TrainState, batch):
@@ -138,6 +160,7 @@ def make_scanned_train_step(
     scan_steps: int = 8,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype: Optional[str] = None,
 ):
     """Run `scan_steps` optimizer steps per dispatch via `lax.scan` over a
     stacked super-batch (leading axis = step).
@@ -150,7 +173,7 @@ def make_scanned_train_step(
     Batch contract: each array gains a leading (scan_steps,) axis.
     Returns (state, metrics_of_last_step).
     """
-    loss_fn = make_loss_fn(model, loss_cfg)
+    loss_fn = make_loss_fn(model, loss_cfg, compute_dtype=compute_dtype)
     axis = mesh.axis_names[0] if mesh is not None else None
 
     def one(state: TrainState, batch):

@@ -90,13 +90,15 @@ def run_validation(
                     "valid": np.ones((batch_size, k), np.float32),
                 }
         else:
-            from .data import COCOInstanceSegmentationDataset, DatasetConfig, batch_iterator
+            from .data import (COCOInstanceSegmentationDataset, DatasetConfig,
+                               padded_batch_iterator)
 
             ds = COCOInstanceSegmentationDataset(
                 annotations or cfg.data.val_annotation,
                 image_dir or cfg.data.val_img_dir,
                 DatasetConfig(image_size=(ih, iw), mask_size=(mh, mw), rois_per_image=k))
-            yield from batch_iterator(ds, batch_size, shuffle=False, drop_last=False)
+            # padded (not ragged) tail batch: one static shape per sweep
+            yield from padded_batch_iterator(ds, batch_size)
 
     sums = None
     for batch in batches():

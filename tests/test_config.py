@@ -13,9 +13,33 @@ from human_instance_segmentation_tpu.config import (
 )
 
 
+def test_registry_covers_all_reference_names():
+    """Every one of the reference's 79 registry names resolves
+    (config_manager.py:275-5054; the full-image grid uses capital-B tags)."""
+    names = set(ConfigManager.list_configs())
+    grids = {
+        "B0": ["32x24m64x48", "64x48m128x96", "80x60m160x120",
+               "96x72m192x144", "112x84m224x168", "128x96m256x192"],
+        "B1": ["32x24m64x48", "64x48m128x96", "80x60m160x120",
+               "96x72m192x144", "112x84m224x168", "128x96m256x192"],
+        "B7": ["64x48m128x96", "80x60m160x120"],
+    }
+    enhanced = {"B0": ["64x48m128x96", "80x60m160x120"],
+                "B1": ["64x48m128x96", "80x60m160x120"],
+                "B7": ["64x48m128x96", "80x60m160x120", "128x96m256x192"]}
+    stem = "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_r"
+    for arch, sizes in grids.items():
+        for s in sizes:
+            assert f"{stem}{s}_disttrans_contdet_baware_from_{arch}" in names
+    for arch, sizes in enhanced.items():
+        for s in sizes:
+            assert f"{stem}{s}_disttrans_contdet_baware_from_{arch}_enhanced" in names
+    assert "rgb_hierarchical_unet_v2_distillation_b0_from_b3_yolo" in names
+
+
 def test_registry_size_and_key_names():
     names = ConfigManager.list_configs()
-    assert len(names) >= 60
+    assert len(names) >= 79
     for required in (
         "baseline",
         "rgb_hierarchical_unet_v2",
@@ -47,7 +71,7 @@ def test_flagship_config_fields():
 def test_enhanced_variant_capacity():
     base = ConfigManager.get_config(
         "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
-        "r128x96m256x192_disttrans_contdet_baware_from_b7")
+        "r64x48m128x96_disttrans_contdet_baware_from_b7")
     enh = ConfigManager.get_config(base.name + "_enhanced")
     assert enh.model.hierarchical_base_channels > base.model.hierarchical_base_channels
     assert enh.model.hierarchical_depth == 4

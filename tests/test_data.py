@@ -146,6 +146,34 @@ def test_augment_preserves_shapes_and_range(synthetic_coco, image_dir, rng):
     assert s["image"].dtype == np.float32
 
 
+def test_weather_and_compression_families(rng):
+    from human_instance_segmentation_tpu.data.augment import (
+        downscale, fog, iso_noise, jpeg_compression, rain, sun_flare)
+
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    for fn in (rain, fog, sun_flare, iso_noise, jpeg_compression, downscale):
+        out = fn(img, rng)
+        assert out.shape == img.shape, fn.__name__
+        assert out.dtype == np.float32
+        assert out.min() >= 0.0 and out.max() <= 1.0, fn.__name__
+        assert np.abs(out - img).max() > 0, f"{fn.__name__} was a no-op"
+
+
+def test_padded_batch_iterator(synthetic_coco, image_dir):
+    from human_instance_segmentation_tpu.data import padded_batch_iterator
+
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=4, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(synthetic_coco, str(image_dir), cfg)
+    bs = len(ds) + 1  # force a padded final batch
+    batches = list(padded_batch_iterator(ds, bs))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["images"].shape[0] == bs  # static full-size batch
+    assert (b["valid"][len(ds):] == 0).all()  # pad rows masked out
+    assert (b["valid"][: len(ds)] == 1).any()
+
+
 def test_filtering():
     # tiny and extreme-aspect boxes are filtered out
     imgs = [{"id": 1, "file_name": "x.jpg", "width": 100, "height": 100}]

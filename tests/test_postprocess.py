@@ -51,6 +51,74 @@ def test_edge_smoothing_matches_torch_reference():
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_directional_edge_smoothing_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    m = _rand_mask(rng, (1, 16, 16, 1))
+    ours = np.asarray(pp.directional_edge_smooth(jnp.asarray(m)))
+
+    t = torch.from_numpy(m.transpose(0, 3, 1, 2))
+    sx = torch.tensor([[-1., 0, 1], [-2, 0, 2], [-1, 0, 1]]).view(1, 1, 3, 3)
+    sy = torch.tensor([[-1., -2, -1], [0, 0, 0], [1, 2, 1]]).view(1, 1, 3, 3)
+    hb = torch.tensor([[0.1, 0.2, 0.4, 0.2, 0.1]]).view(1, 1, 1, 5)
+    vb = torch.tensor([[0.1], [0.2], [0.4], [0.2], [0.1]]).view(1, 1, 5, 1)
+    d1 = torch.tensor([[0.1, 0, 0], [0, 0.8, 0], [0, 0, 0.1]]).view(1, 1, 3, 3)
+    d2 = torch.tensor([[0, 0, 0.1], [0, 0.8, 0], [0.1, 0, 0.]]).view(1, 1, 3, 3)
+    ex = F.conv2d(t, sx, padding=1)
+    ey = F.conv2d(t, sy, padding=1)
+    mag = torch.sqrt(ex ** 2 + ey ** 2 + 1e-8)
+    ang = torch.atan2(ey, ex)
+    bh = F.conv2d(t, hb, padding=(0, 2))
+    bv = F.conv2d(t, vb, padding=(2, 0))
+    bd1 = F.conv2d(t, d1, padding=1)
+    bd2 = F.conv2d(t, d2, padding=1)
+    wh, wv = torch.cos(ang) ** 2, torch.sin(ang) ** 2
+    wd1 = torch.cos(ang - np.pi / 4) ** 2 * 0.5
+    wd2 = torch.cos(ang + np.pi / 4) ** 2 * 0.5
+    s = wh + wv + wd1 + wd2 + 1e-8
+    blurred = (bh * wh + bv * wv + bd1 * wd1 + bd2 * wd2) / s
+    ew = torch.sigmoid(mag * 3.0)
+    ref = ((t * (1 - ew) + blurred * ew) > 0.5).float()
+    np.testing.assert_array_equal(ours, ref.numpy().transpose(0, 2, 3, 1))
+
+
+def test_adaptive_edge_smoothing_parameters_matter():
+    rng = np.random.default_rng(4)
+    m = jnp.asarray(_rand_mask(rng, (2, 16, 16, 1)))
+    lo = pp.adaptive_edge_smooth(m, jnp.asarray([1.0, 1.0]),
+                                 jnp.asarray([2.0, 2.0]), jnp.asarray([0.5, 0.5]))
+    hi = pp.adaptive_edge_smooth(m, jnp.asarray([5.0, 5.0]),
+                                 jnp.asarray([0.5, 0.5]), jnp.asarray([0.3, 0.3]))
+    assert lo.shape == m.shape and hi.shape == m.shape
+    assert set(np.unique(np.asarray(lo))) <= {0.0, 1.0}
+    assert np.abs(np.asarray(lo) - np.asarray(hi)).sum() > 0
+
+
+def test_optimized_edge_smooth_tracks_basic():
+    # structured mask (a blob with a jagged corner) — on real masks, unlike
+    # dense noise, the fast-sigmoid approximation tracks the basic variant
+    m = np.zeros((1, 24, 24, 1), np.float32)
+    m[0, 6:18, 6:18, 0] = 1.0
+    m[0, 6, 6, 0] = 0.0
+    m[0, 17, 17, 0] = 0.0
+    m = jnp.asarray(m)
+    fast = np.asarray(pp.optimized_edge_smooth(m, dtype="float32"))
+    base = np.asarray(pp.edge_smooth_binary_mask(m))
+    assert fast.shape == base.shape
+    assert (fast == base).mean() > 0.95
+
+
+def test_multiclass_edge_smooth_planes():
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    for variant in ("basic", "directional", "optimized"):
+        out = np.asarray(pp.multiclass_edge_smooth(logits, variant=variant))
+        assert out.shape == (1, 16, 16, 3)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+
+
 def test_bilateral_filter_matches_dense_reference():
     # brute-force reference at a few positions
     rng = np.random.default_rng(2)
