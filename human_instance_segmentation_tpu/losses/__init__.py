@@ -26,6 +26,8 @@ from .distillation import (
     unet_distillation_loss,
     hierarchical_distillation_loss,
     binary_dice_loss,
+    feature_matching_loss,
+    yolo_distillation_loss,
 )
 from .distance_aware import (
     DistanceAwareLossConfig,
@@ -45,6 +47,7 @@ __all__ = [
     "DistillationState", "DistillationConfig", "scheduled_temperature",
     "update_adaptive_weights", "unet_distillation_loss",
     "hierarchical_distillation_loss", "binary_dice_loss",
+    "feature_matching_loss", "yolo_distillation_loss",
     "DistanceAwareLossConfig", "distance_aware_loss",
     "boundary_distance_weights", "instance_separation_weights",
     "approximate_distance_transform",

@@ -256,3 +256,67 @@ def hierarchical_distillation_loss(
     total = alpha * (kd + aux_kd) + (1.0 - alpha) * base_loss
     metrics["total_loss"] = total
     return total, metrics
+
+
+def yolo_distillation_loss(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    target_masks: jnp.ndarray,
+    student_features: Optional[jnp.ndarray] = None,
+    yolo_features: Optional[jnp.ndarray] = None,
+    temperature: float = 3.0,
+    kl_weight: float = 1.0,
+    mse_weight: float = 0.5,
+    bce_weight: float = 0.5,
+    dice_weight: float = 1.0,
+    feature_weight: float = 0.5,
+    feature_loss_type: str = "mse",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Combined YOLO-feature distillation loss
+    (advanced/unet_yolo_feature_distillation.py:300-533):
+    binary sigmoid-KL at temperature T (scaled by T, clamped), MSE vs the
+    teacher logits, BCE + Dice vs ground truth, and an intermediate-feature
+    alignment term (MSE clamped to 10, or 1 - cosine) between the student's
+    projected stride-8 encoder feature and the YOLO feature target.
+
+    All inputs NHWC; ``yolo_features`` is the (B, h8, w8, 1024) target that
+    the reference fetched from the YOLOv9 ONNX session — here it arrives
+    precomputed from the data pipeline (TPU-native: no in-loop ORT hop).
+    """
+    eps = 1e-7
+    T = temperature
+    t_logits = jax.lax.stop_gradient(teacher_logits)
+    p = jnp.clip(jax.nn.sigmoid(t_logits / T), eps, 1.0 - eps)
+    q = jnp.clip(jax.nn.sigmoid(student_logits / T), eps, 1.0 - eps)
+    kl_pos = jnp.clip(p * jnp.log(p / q), -10.0, 10.0)
+    kl_neg = jnp.clip((1.0 - p) * jnp.log((1.0 - p) / (1.0 - q)), -10.0, 10.0)
+    kl = jnp.clip(jnp.mean(kl_pos + kl_neg) * T, 0.0, 100.0)
+
+    mse = jnp.mean((student_logits - t_logits) ** 2)
+
+    tm = target_masks.astype(student_logits.dtype)
+    if tm.ndim == student_logits.ndim - 1:
+        tm = tm[..., None]
+    bce = jnp.mean(
+        jnp.maximum(student_logits, 0.0) - student_logits * tm
+        + jnp.log1p(jnp.exp(-jnp.abs(student_logits))))
+    dice = jnp.clip(binary_dice_loss(student_logits, tm), 0.0, 2.0)
+
+    feat = jnp.asarray(0.0, student_logits.dtype)
+    if student_features is not None and yolo_features is not None:
+        yf = jax.lax.stop_gradient(yolo_features)
+        if feature_loss_type == "mse":
+            feat = jnp.clip(jnp.mean((student_features - yf) ** 2), 0.0, 10.0)
+        elif feature_loss_type == "cosine":
+            sf = student_features.reshape(student_features.shape[0], -1, student_features.shape[-1])
+            tf = yf.reshape(yf.shape[0], -1, yf.shape[-1])
+            sn = sf / (jnp.linalg.norm(sf, axis=-1, keepdims=True) + 1e-6)
+            tn = tf / (jnp.linalg.norm(tf, axis=-1, keepdims=True) + 1e-6)
+            feat = 1.0 - jnp.mean(jnp.sum(sn * tn, axis=-1))
+        else:
+            raise ValueError(f"unknown feature loss type: {feature_loss_type}")
+
+    total = (kl_weight * kl + mse_weight * mse + bce_weight * bce
+             + dice_weight * dice + feature_weight * feat)
+    return total, {"kl_loss": kl, "mse_loss": mse, "bce_loss": bce,
+                   "dice_loss": dice, "feature_loss": feat, "total_loss": total}

@@ -39,6 +39,7 @@ from .assembly import (
     RGBFeatureExtractor,
     RGBPatchFeatureExtractor,
 )
+from .yolo_distill import YOLOFeatureDistillStudent, strip_projector
 from . import postprocess
 
 __all__ = [
@@ -76,5 +77,7 @@ __all__ = [
     "MultiScaleRGBHierarchicalModel",
     "RGBFeatureExtractor",
     "RGBPatchFeatureExtractor",
+    "YOLOFeatureDistillStudent",
+    "strip_projector",
     "postprocess",
 ]

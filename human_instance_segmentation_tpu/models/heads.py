@@ -601,10 +601,12 @@ class PretrainedUNetGuidedHead(nn.Module):
         mc = self.mid_channels
         act = get_activation(self.activation, self.activation_beta)
 
-        # 2-channel crop of the wrapper logits: channel 0 is foreground
-        # (PeopleSegUNetWrapper convention, see models/unet.py).
+        # The reference extracts CHANNEL 1 of the 2-channel wrapper crop as
+        # the "foreground" logit (hierarchical_segmentation_rgb.py:135-137) —
+        # note this is the wrapper's negated channel; the quirk is preserved
+        # for checkpoint parity.
         if bg_fg_mask.shape[-1] == 2:
-            fg_logit = bg_fg_mask[..., 0:1]
+            fg_logit = bg_fg_mask[..., 1:2]
         else:
             fg_logit = bg_fg_mask
         fg_prob = jax.nn.sigmoid(fg_logit)
@@ -636,8 +638,10 @@ class PretrainedUNetGuidedHead(nn.Module):
         if final.shape[1:3] != (mh, mw):
             final = resize_bilinear(final, mh, mw)
 
-        if fg_prob.shape[1:3] != (mh, mw):
-            fg_prob_full = resize_bilinear(fg_prob, mh, mw)
+        # Reference recomputes the sigmoid from the *resized logit*
+        # (rgb.py:186-195), not a resized probability.
+        if fg_logit.shape[1:3] != (mh, mw):
+            fg_prob_full = jax.nn.sigmoid(resize_bilinear(fg_logit, mh, mw))
         else:
             fg_prob_full = fg_prob
         bg_fg_logits = jnp.concatenate(

@@ -17,13 +17,15 @@ import jax.numpy as jnp
 
 
 class LayerNorm2d(nn.Module):
-    """LayerNorm over the channel axis only, with per-channel affine.
+    """LayerNorm over (H, W, C) jointly per sample, with per-channel affine.
 
-    Matches the reference LayerNorm2d (model.py:18-38): mean/var over C at
-    every spatial position, eps 1e-6, biased variance.
+    Matches the reference LayerNorm2d (model.py:18-38): mean/var over all of
+    (C, H, W) for each sample, eps 1e-5, biased variance, per-channel
+    weight/bias. (This is what every head's ``layernorm2d`` resolves to via
+    normalization_comparison.py:159-206.)
     """
 
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -32,8 +34,9 @@ class LayerNorm2d(nn.Module):
         # statistics in f32 for bf16 activations (TPU mixed-precision rule:
         # accumulate in f32, store in bf16)
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        axes = tuple(range(1, x.ndim))
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
         y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))

@@ -12,16 +12,18 @@ from human_instance_segmentation_tpu.ops.norms import LayerNorm2d
 
 
 def test_layernorm2d_matches_torch_reference(rng):
-    # torch LayerNorm2d from reference model.py:18-38 (channel-only stats)
+    # torch LayerNorm2d from reference model.py:18-38: statistics over ALL of
+    # (C, H, W) per sample, eps 1e-5, biased variance. (The golden oracle
+    # version of this check lives in tests/test_reference_parity.py.)
     x = rng.standard_normal((2, 5, 7, 16)).astype(np.float32)
     mod = LayerNorm2d()
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
     got = mod.apply(params, jnp.asarray(x))
 
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
-    u = xt.mean(1, keepdim=True)
-    s = (xt - u).pow(2).mean(1, keepdim=True)
-    want = ((xt - u) / torch.sqrt(s + 1e-6)).permute(0, 2, 3, 1).numpy()
+    u = xt.mean(dim=(1, 2, 3), keepdim=True)
+    s = (xt - u).pow(2).mean(dim=(1, 2, 3), keepdim=True)
+    want = ((xt - u) / torch.sqrt(s + 1e-5)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
