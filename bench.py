@@ -23,8 +23,12 @@ def main():
     batch = 32         # saturating batch (throughput plateaus ~32 on v5e); 1 ROI per image, the baseline's shape
     ih, iw = 480, 640
 
+    # fused_tail: the last stage-1 decoder stages run in space-to-depth form
+    # (exact same params/math, ops/s2d.py) — 2.1x on stage 1, which otherwise
+    # dominates at <5% MFU (scripts/profile_stage1.py).
     model, params = create_flagship(
-        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw))
+        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
+        fused_tail=3)
     # bf16 serving: TPU-native mixed precision (norm statistics stay f32
     # inside the modules); the reference's TRT baseline row is fp16.
     params = cast_floating(params, jnp.bfloat16)

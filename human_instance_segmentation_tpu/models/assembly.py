@@ -108,11 +108,15 @@ class HierarchicalInstanceSegmenter(nn.Module):
     depth: int = 3
     freeze_pretrained: bool = True
     unet_decoder_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    # Serving: run the last N stage-1 decoder stages in space-to-depth form
+    # (exact math, see ops/s2d.py) — the flagship's dominant cost otherwise.
+    fused_tail: int = 0
 
     def setup(self):
         self.pretrained_unet = PeopleSegmentationUNet(
             encoder_variant=self.encoder_variant,
-            decoder_channels=self.unet_decoder_channels, name="pretrained_unet")
+            decoder_channels=self.unet_decoder_channels,
+            fused_tail=self.fused_tail, name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
         self.rgb_extractor = RGBPatchFeatureExtractor(
             feature_dim=self.feature_dim, norm=self.norm, norm_groups=self.norm_groups,

@@ -21,18 +21,75 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.s2d import (conv3x3_s2d, conv_up_s2d, depth_to_space,
+                       space_to_depth, tile_channel_params)
 from ..ops.sampling import resize_bilinear
 from .efficientnet import EfficientNetEncoder
 
 
-class DecoderBlock(nn.Module):
-    """2x upsample -> concat skip -> (conv-BN-ReLU) x 2."""
+class _Conv3Params(nn.Module):
+    """Parameter holder with nn.Conv's exact tree/initialisers, for paths
+    that consume the kernel directly (the fused S2D tail)."""
 
     features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """nn.BatchNorm's parameter/stat tree without the full-res apply."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+def _bn_relu_s2d(y, scale, bias, mean, var, eps=1e-5):
+    t = lambda v: tile_channel_params(v.astype(y.dtype))
+    return jax.nn.relu((y - t(mean)) * jax.lax.rsqrt(t(var) + eps) * t(scale) + t(bias))
+
+
+class DecoderBlock(nn.Module):
+    """2x upsample -> concat skip -> (conv-BN-ReLU) x 2.
+
+    With ``fused=True`` (eval only) the block computes the identical math in
+    space-to-depth form (see ops/s2d.py): the upsample is folded into conv0's
+    kernel and both convs run on the half-resolution grid with 4x channels —
+    same parameters, same outputs, ~MXU-shaped instead of lane-starved. The
+    return value is then the S2D(2) form of the full-res output.
+    """
+
+    features: int
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None, train: bool = False) -> jnp.ndarray:
-        b, h, w, _ = x.shape
+        b, h, w, cx = x.shape
+        can_fuse = (self.fused and not train
+                    and (skip is None or skip.shape[1:3] == (2 * h, 2 * w)))
+        if can_fuse:
+            cin = cx + (skip.shape[-1] if skip is not None else 0)
+            k0, _ = _Conv3Params(self.features, name="conv0")(cin)
+            s0, b0, m0, v0 = _BNParams(name="bn0")(self.features)
+            k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
+            s1, b1, m1, v1 = _BNParams(name="bn1")(self.features)
+
+            y = conv_up_s2d(x, k0[:, :, :cx])
+            if skip is not None:
+                y = y + conv3x3_s2d(space_to_depth(skip, 2), k0[:, :, cx:])
+            y = _bn_relu_s2d(y, s0, b0, m0, v0)
+            y = conv3x3_s2d(y, k1)
+            return _bn_relu_s2d(y, s1, b1, m1, v1)
+
         x = resize_bilinear(x, h * 2, w * 2)
         if skip is not None:
             # Guard odd input sizes: match the skip's spatial extent.
@@ -61,6 +118,11 @@ class PeopleSegmentationUNet(nn.Module):
     normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     drop_path_rate: float = 0.0
+    # Serving optimisation: compute the last N decoder stages + seg head in
+    # space-to-depth form (exact same params/math; ops/s2d.py). The
+    # high-res low-channel tail is the flagship's dominant cost at 2-5% MFU;
+    # S2D-shaped convs reach ~80% (scripts/profile_stage1.py).
+    fused_tail: int = 0
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,9 +136,26 @@ class PeopleSegmentationUNet(nn.Module):
         # feats: (s2, s4, s8, s16, s32)
         skips = list(feats[:-1])[::-1]  # s16, s8, s4, s2
         h = feats[-1]
+        n = len(self.decoder_channels)
+        fused = 0 if train else self.fused_tail
+        h_is_s2d = False
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            h = DecoderBlock(features=ch, name=f"decoder{i}")(h, skip, train=train)
+            use_fused = (
+                i >= n - fused
+                and (skip is None or skip.shape[1:3] == (2 * h.shape[1], 2 * h.shape[2]))
+            )
+            h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused)(
+                h, skip, train=train)
+            h_is_s2d = use_fused
+            if h_is_s2d and i < n - 1:
+                h = depth_to_space(h, 2)  # next stage consumes the plain form
+                h_is_s2d = False
+        if h_is_s2d:
+            ch_last = h.shape[-1] // 4
+            k, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch_last)
+            y = conv3x3_s2d(h, k) + tile_channel_params(bsh.astype(h.dtype))
+            return depth_to_space(y, 2)
         return nn.Conv(self.classes, (3, 3), padding=1, name="seg_head")(h)
 
 

@@ -162,6 +162,7 @@ def test_registry_families_build_claimed_architectures():
     assert frozen.freeze_pretrained
 
 
+@pytest.mark.slow  # compiles a full ROI-cropped UNet (~100 s on the 1-core host)
 def test_roi_pretrained_model_forward():
     import jax
     import jax.numpy as jnp

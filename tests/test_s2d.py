@@ -1,0 +1,87 @@
+"""Space-to-depth fused decoder tail: exactness vs the plain path.
+
+The fused tail (ops/s2d.py + DecoderBlock(fused=True)) must be numerically
+identical (f32) to the plain upsample->conv path it replaces, including the
+border rows/cols where the edge-clamped upsample meets zero-padded convs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_instance_segmentation_tpu.ops.s2d import (
+    conv3x3_s2d, conv_up_s2d, depth_to_space, space_to_depth)
+from human_instance_segmentation_tpu.ops.sampling import upsample_2x_bilinear
+from human_instance_segmentation_tpu.models.unet import DecoderBlock, PeopleSegmentationUNet
+
+
+def _conv_same(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_s2d_round_trip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 6, 20)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y, 2)), np.asarray(x))
+    # phase order: channel block (ay*2+ax)*C + c
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0, 5:10]), np.asarray(x[0, 0, 1, :]))
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0, 10:15]), np.asarray(x[0, 1, 0, :]))
+
+
+def test_conv3x3_s2d_exact(rng):
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 7)).astype(np.float32) * 0.2)
+    want = _conv_same(x, k)
+    got = depth_to_space(conv3x3_s2d(space_to_depth(x, 2), k), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_conv_up_s2d_exact_including_borders(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 4)).astype(np.float32) * 0.2)
+    want = _conv_same(upsample_2x_bilinear(x), k)  # (2, 12, 16, 4)
+    got = depth_to_space(conv_up_s2d(x, k), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("with_skip", [True, False])
+def test_decoder_block_fused_matches_plain(rng, with_skip):
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 10)).astype(np.float32))
+    skip = (jnp.asarray(rng.standard_normal((2, 12, 16, 4)).astype(np.float32))
+            if with_skip else None)
+
+    plain = DecoderBlock(features=12, fused=False)
+    fused = DecoderBlock(features=12, fused=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, skip, train=False)
+    # randomise BN stats so eval-mode normalisation is non-trivial
+    variables = jax.device_get(variables)
+    for bn in ("bn0", "bn1"):
+        variables["batch_stats"][bn]["mean"] = rng.standard_normal(12).astype(np.float32) * 0.1
+        variables["batch_stats"][bn]["var"] = (rng.random(12).astype(np.float32) + 0.5)
+
+    want = plain.apply(variables, x, skip, train=False)
+    got = depth_to_space(fused.apply(variables, x, skip, train=False), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_unet_fused_tail_matches_plain():
+    dec = (16, 16, 8, 8, 8)
+    plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec)
+    fused = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
+                                   fused_tail=2)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(lambda r: plain.init(r, x, train=False))(jax.random.PRNGKey(0))
+
+    want = plain.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    assert got.shape == want.shape == (1, 64, 64, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # init with the fused module produces the identical tree (holders match)
+    v2 = jax.jit(lambda r: fused.init(r, x, train=False))(jax.random.PRNGKey(0))
+    p1 = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    p2 = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(v2)[0]}
+    assert p1 == p2
