@@ -21,8 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.s2d import (conv3x3_s2d, conv_up_s2d, depth_to_space,
-                       space_to_depth, tile_channel_params)
+from ..ops.s2d import (conv3x3_s2d, conv3x3_strided_s2d, conv_up_s2d,
+                       depth_to_space, tile_channel_params)
 from ..ops.sampling import resize_bilinear
 from .efficientnet import EfficientNetEncoder
 
@@ -85,7 +85,9 @@ class DecoderBlock(nn.Module):
 
             y = conv_up_s2d(x, k0[:, :, :cx])
             if skip is not None:
-                y = y + conv3x3_s2d(space_to_depth(skip, 2), k0[:, :, cx:])
+                # one 4x4 stride-2 conv straight off the full-res skip — no
+                # space_to_depth relayout (profile_fused_parts.py: ~3.7 ms)
+                y = y + conv3x3_strided_s2d(skip, k0[:, :, cx:])
             y = _bn_relu_s2d(y, s0, b0, m0, v0)
             y = conv3x3_s2d(y, k1)
             return _bn_relu_s2d(y, s1, b1, m1, v1)

@@ -136,52 +136,60 @@ def compose_up_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=-1)  # (3, 3, Ci, 4*Co)
 
 
-def _s2d_cols(y: jnp.ndarray) -> jnp.ndarray:
-    """(B, rows, 2*Wc, Co) -> (B, rows, Wc, 2*Co) pairing (ax, co)."""
-    b, rows, w2, co = y.shape
-    return y.reshape(b, rows, w2 // 2, 2 * co)
-
-
-def _s2d_rows(y: jnp.ndarray) -> jnp.ndarray:
-    """(B, 2*Hc, cols, Co) -> (B, Hc, cols, 2*Co) pairing (ay, co)."""
-    b, h2, cols, co = y.shape
-    return y.reshape(b, h2 // 2, 2, cols, co).transpose(0, 1, 3, 2, 4).reshape(
-        b, h2 // 2, cols, 2 * co)
-
-
 def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """conv3x3(zero-pad, kernel w) of upsample_2x_bilinear(x), returned in
     S2D(2) form on x's own grid, without materialising the upsample.
 
     x: (B, H, W, Ci); w: (3, 3, Ci, Co) -> (B, H, W, 4*Co).
 
-    Interior cells come from a single composed 3x3 conv over the edge-padded
-    input; the first/last full-res rows and columns (where the conv's zero
-    padding interacts with the upsample's edge clamping) are recomputed
-    exactly from 2-pixel strips and overwritten.
+    Interior cells come from a single composed 3x3 SAME conv over x (no
+    padded copy); the first/last CELL rows and columns — where the composed
+    kernel's zero padding deviates from the true edge-clamped upsample — are
+    recomputed exactly from 2-pixel strips and merged in one fused
+    select pass (scatter updates cost a full-tensor copy each; measured 6 ms
+    per call at decoder-4 shapes, scripts/profile_fused_parts.py).
     """
-    co = w.shape[3]
     K = compose_up_conv_kernel(w)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = _conv(xp, K, "VALID")  # (B, H, W, 4*Co)
+    y = _conv(x, K, "SAME")  # wrong only in cell rows/cols 0 and -1
 
     def strip(xs):  # plain path on a small strip: upsample then SAME conv
         return _conv(upsample_2x_bilinear(xs), w, "SAME")
 
-    # full-res row 0 (phase ay=0 of cell row 0) / row 2H-1 (ay=1, cell H-1)
-    top = strip(x[:, :2])[:, 0:1]          # (B, 1, 2W, Co) exact
-    bot = strip(x[:, -2:])[:, -1:]
-    y = y.at[:, 0:1, :, : 2 * co].set(_s2d_cols(top).astype(y.dtype))
-    y = y.at[:, -1:, :, 2 * co:].set(_s2d_cols(bot).astype(y.dtype))
+    # Exact border cell rows/cols, all four phases. Within each 2-pixel
+    # strip the taken rows/cols only consume upsample values that the strip
+    # computes exactly (the clamp at the strip's inner edge is never read).
+    top = space_to_depth(strip(x[:, :2])[:, :2], 2)          # (B, 1, Wc, 4Co)
+    bot = space_to_depth(strip(x[:, -2:])[:, -2:], 2)
+    left = space_to_depth(strip(x[:, :, :2])[:, :, :2], 2)   # (B, Hc, 1, 4Co)
+    right = space_to_depth(strip(x[:, :, -2:])[:, :, -2:], 2)
 
-    # full-res col 0 (ax=0: channel blocks 0 and 2) / col 2W-1 (ax=1: 1 and 3)
-    left = _s2d_rows(strip(x[:, :, :2])[:, :, 0:1])    # (B, H, 1, 2*Co) = (ay, co)
-    right = _s2d_rows(strip(x[:, :, -2:])[:, :, -1:])
-    y = y.at[:, :, 0:1, 0:co].set(left[..., :co].astype(y.dtype))
-    y = y.at[:, :, 0:1, 2 * co:3 * co].set(left[..., co:].astype(y.dtype))
-    y = y.at[:, :, -1:, co:2 * co].set(right[..., :co].astype(y.dtype))
-    y = y.at[:, :, -1:, 3 * co:].set(right[..., co:].astype(y.dtype))
-    return y
+    hc, wc = y.shape[1], y.shape[2]
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, hc, 1, 1), 1)
+    col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc, 1), 2)
+    y = jnp.where(row_ix == 0, top, jnp.where(row_ix == hc - 1, bot, y))
+    return jnp.where(col_ix == 0, left, jnp.where(col_ix == wc - 1, right, y))
+
+
+def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Full-res stride-1 3x3 conv (zero pad) of a FULL-RES input, output in
+    S2D(2) form — as one 4x4 stride-2 conv, so the input never goes through
+    a space_to_depth relayout (measured ~3.7 ms at decoder-3 skip shapes).
+
+    x: (B, 2Hc, 2Wc, Ci); w: (3, 3, Ci, Co) -> (B, Hc, Wc, 4*Co).
+    Output phase (ay, ax) of cell (i, j) reads full-res rows 2i-1..2i+2 —
+    window position p = ay + dy + 1 with asymmetric padding (1, 2).
+    """
+    ci, co = w.shape[2], w.shape[3]
+    W = jnp.zeros((4, 4, ci, 4 * co), w.dtype)
+    for ay in range(2):
+        for ax in range(2):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    W = W.at[ay + dy + 1, ax + dx + 1, :,
+                             (ay * 2 + ax) * co:(ay * 2 + ax + 1) * co].set(w[dy + 1, dx + 1])
+    return lax.conv_general_dilated(
+        x, W, (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def tile_channel_params(v: jnp.ndarray, r: int = 2) -> jnp.ndarray:

@@ -85,3 +85,13 @@ def test_unet_fused_tail_matches_plain():
     p1 = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(variables)[0]}
     p2 = {str(p) for p, _ in jax.tree_util.tree_flatten_with_path(v2)[0]}
     assert p1 == p2
+
+
+def test_conv3x3_strided_s2d_exact(rng):
+    from human_instance_segmentation_tpu.ops.s2d import conv3x3_strided_s2d
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 6)).astype(np.float32) * 0.2)
+    want = _conv_same(x, k)
+    got = depth_to_space(conv3x3_strided_s2d(x, k), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
