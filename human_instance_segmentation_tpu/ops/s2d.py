@@ -136,18 +136,14 @@ def compose_up_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=-1)  # (3, 3, Ci, 4*Co)
 
 
-def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """conv3x3(zero-pad, kernel w) of upsample_2x_bilinear(x), returned in
-    S2D(2) form on x's own grid, without materialising the upsample.
+def _conv_up_s2d_strips(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Strip-recompute variant of :func:`conv_up_s2d` (v2).
 
-    x: (B, H, W, Ci); w: (3, 3, Ci, Co) -> (B, H, W, 4*Co).
-
-    Interior cells come from a single composed 3x3 SAME conv over x (no
-    padded copy); the first/last CELL rows and columns — where the composed
-    kernel's zero padding deviates from the true edge-clamped upsample — are
-    recomputed exactly from 2-pixel strips and merged in one fused
-    select pass (scatter updates cost a full-tensor copy each; measured 6 ms
-    per call at decoder-4 shapes, scripts/profile_fused_parts.py).
+    Exact but slow on TPU: the four 2-pixel strips are thin-slice ops with
+    pathological layouts, measured ~6 ms of decoder-4's 10.6 ms block at
+    batch 32 (scripts/profile_d4.py). Kept for small inputs (fewer than 4
+    cells on a side, where v3's border/corner regions overlap) and as the
+    oracle in tests.
     """
     K = compose_up_conv_kernel(w)
     y = _conv(x, K, "SAME")  # wrong only in cell rows/cols 0 and -1
@@ -168,6 +164,146 @@ def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc, 1), 2)
     y = jnp.where(row_ix == 0, top, jnp.where(row_ix == hc - 1, bot, y))
     return jnp.where(col_ix == 0, left, jnp.where(col_ix == wc - 1, right, y))
+
+
+def _border_correction_kernels(w: jnp.ndarray):
+    """Impulse-extracted border/corner corrections for :func:`conv_up_s2d`.
+
+    The SAME-composed conv is exact except in the first/last cell row and
+    column, where the composed kernel's zero padding stands in for the true
+    edge-clamped upsample. The error there is LINEAR in the two edge
+    rows/cols of x, so the correction kernels are extracted numerically at
+    trace time by pushing one-hot impulses through the true (strip) and
+    composed computations and reading off the difference. All extraction
+    tensors are tiny (few KB) and depend only on ``w``, so inside a jitted
+    serving graph they cost microseconds and hoist out of any scan/loop.
+
+    Returns (k_top, k_bot, k_left, k_right, corners) where the k_* are conv
+    kernels over the 2-row/col edge slabs of x and ``corners`` is a list of
+    four (2, 2, Ci, 4Co) tensors giving the TRUE corner-cell values as a
+    contraction of the corner 2x2 cells of x (order: tl, tr, bl, br).
+    """
+    ci, co = w.shape[2], w.shape[3]
+    K = compose_up_conv_kernel(w)
+    P = 8
+    jc = P // 2
+
+    def true_rows(e, sl):  # strip computation, rows `sl` of the 4-row upsample
+        return space_to_depth(_conv(upsample_2x_bilinear(e), w, "SAME")[:, sl], 2)
+
+    def comp_rows(e, cell):
+        return _conv(e, K, "SAME")[:, cell:cell + 1]
+
+    # impulses: one per (edge-row i, channel c), centred at col jc
+    eye = jnp.eye(ci, dtype=w.dtype)
+    imp = jnp.zeros((2 * ci, 2, P, ci), w.dtype)
+    for i in range(2):
+        imp = imp.at[i * ci:(i + 1) * ci, i, jc].set(eye)
+
+    def readout_rows(d):  # (2Ci, 1, P, 4Co) -> (2, 3, Ci, 4Co)
+        d = d.reshape(2, ci, P, 4 * co)
+        # input impulse at col jc contributes to output cols jc+dj with
+        # kernel tap index (1 - dj)
+        taps = [d[:, :, jc - dj] for dj in (-1, 0, 1)]
+        return jnp.stack(taps, axis=1)  # (2, 3, Ci, 4Co) — [i, dj+1, c, :]
+
+    k_top = readout_rows(true_rows(imp, slice(0, 2)) - comp_rows(imp, 0))
+    k_bot = readout_rows(true_rows(imp, slice(2, 4)) - comp_rows(imp, 1))
+
+    def col_kernel(side):  # side 0 = left, 1 = right
+        # impulses over (edge-col i, channel c) at centre ROW qc of a (Q, 2)
+        # input; compute true/composed on the transposed layout then map
+        # phases back.
+        q = P
+        qc = q // 2
+        impc = jnp.zeros((2 * ci, q, 2, ci), w.dtype)
+        for i in range(2):
+            impc = impc.at[i * ci:(i + 1) * ci, qc, i].set(eye)
+        true_full = _conv(upsample_2x_bilinear(impc), w, "SAME")
+        if side == 0:
+            tr = true_full[:, :, 0:2]
+        else:
+            tr = true_full[:, :, 2:4]
+        tr = space_to_depth(tr, 2)                      # (2Ci, Q, 1, 4Co)
+        cp = _conv(impc, K, "SAME")[:, :, side:side + 1]  # (2Ci, Q, 1, 4Co)
+        d = (tr - cp).reshape(2, ci, q, 4 * co)
+        taps = [d[:, :, qc - di] for di in (-1, 0, 1)]
+        return jnp.stack(taps, axis=0)  # (3, 2, Ci, 4Co) — [di+1, i, c, :]
+
+    k_left = col_kernel(0)
+    k_right = col_kernel(1)
+
+    # true corner cells from the 2x2 corner cells of x
+    imp2 = jnp.zeros((4 * ci, 2, 2, ci), w.dtype)
+    n = 0
+    for i in range(2):
+        for j in range(2):
+            imp2 = imp2.at[n * ci:(n + 1) * ci, i, j].set(eye)
+            n += 1
+    u2 = _conv(upsample_2x_bilinear(imp2), w, "SAME")    # (4Ci, 4, 4, Co)
+    corners = []
+    for (ri, cix) in ((slice(0, 2), slice(0, 2)), (slice(0, 2), slice(2, 4)),
+                      (slice(2, 4), slice(0, 2)), (slice(2, 4), slice(2, 4))):
+        v = space_to_depth(u2[:, ri, cix], 2)            # (4Ci, 1, 1, 4Co)
+        corners.append(v.reshape(2, 2, ci, 4 * co))
+    return k_top, k_bot, k_left, k_right, corners
+
+
+def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """conv3x3(zero-pad, kernel w) of upsample_2x_bilinear(x), returned in
+    S2D(2) form on x's own grid, without materialising the upsample.
+
+    x: (B, H, W, Ci); w: (3, 3, Ci, Co) -> (B, H, W, 4*Co).
+
+    Interior cells come from a single composed 3x3 SAME conv over x. The
+    first/last cell rows/cols — where composed zero padding deviates from
+    the true edge-clamped upsample — are fixed by ADDING impulse-extracted
+    correction terms (:func:`_border_correction_kernels`): two 2-row convs,
+    two 2-col convs and four 2x2 corner contractions, merged in one fused
+    masked-add/select pass. This replaces the v2 strip recompute whose
+    thin-slice layouts cost ~6 ms/batch at decoder-4 shapes
+    (scripts/profile_d4.py); all variants are bit-identical in f32.
+    """
+    b, h, wd, ci = x.shape
+    if h < 4 or wd < 4:
+        return _conv_up_s2d_strips(x, w)
+    K = compose_up_conv_kernel(w)
+    y = _conv(x, K, "SAME")  # wrong only in cell rows/cols 0 and -1
+
+    k_top, k_bot, k_left, k_right, corners = _border_correction_kernels(w)
+    co4 = y.shape[-1]
+
+    corr_top = _conv(x[:, :2], k_top, ((0, 0), (1, 1)))       # (B, 1, Wc, 4Co)
+    corr_bot = _conv(x[:, -2:], k_bot, ((0, 0), (1, 1)))
+    corr_left = _conv(x[:, :, :2], k_left, ((1, 1), (0, 0)))  # (B, Hc, 1, 4Co)
+    corr_right = _conv(x[:, :, -2:], k_right, ((1, 1), (0, 0)))
+
+    cs = [jnp.einsum("bijc,ijco->bo", sl, ck) for sl, ck in zip(
+        (x[:, :2, :2], x[:, :2, -2:], x[:, -2:, :2], x[:, -2:, -2:]), corners)]
+
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wd, 1), 2)
+    top_m = row_ix == 0
+    bot_m = row_ix == h - 1
+    left_m = col_ix == 0
+    right_m = col_ix == wd - 1
+    zero = jnp.zeros((), y.dtype)
+    y = y + jnp.where(top_m, corr_top, zero) + jnp.where(bot_m, corr_bot, zero) \
+        + jnp.where(left_m, corr_left, zero) + jnp.where(right_m, corr_right, zero)
+    # corners: the row/col corrections are both x-interior approximations
+    # there; overwrite with the exact contraction of the corner 2x2 cells.
+    tl = cs[0].reshape(b, 1, 1, co4)
+    tr = cs[1].reshape(b, 1, 1, co4)
+    bl = cs[2].reshape(b, 1, 1, co4)
+    br = cs[3].reshape(b, 1, 1, co4)
+    y = jnp.where(top_m & left_m, tl, y)
+    y = jnp.where(top_m & right_m, tr, y)
+    y = jnp.where(bot_m & left_m, bl, y)
+    y = jnp.where(bot_m & right_m, br, y)
+    # Without a barrier XLA fuses this select/add epilogue into the consumer
+    # conv's operand and the block costs 2x (10.4 -> 5.2 ms at decoder-4
+    # shapes, scripts/profile_d4.py convfull vs convfull_bar).
+    return jax.lax.optimization_barrier(y)
 
 
 def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

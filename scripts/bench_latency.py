@@ -31,7 +31,8 @@ def main():
 
     ih, iw = 480, 640
     model, params = create_flagship(
-        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw))
+        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
+        fused_tail=3)
     params = cast_floating(params, jnp.bfloat16)
 
     def infer(params, images, rois):
