@@ -86,22 +86,57 @@ class InferenceEngine:
         dilation_pixels: int = 0,
         max_bucket: int = 64,
         dtype: jnp.dtype = jnp.float32,
+        quantize: Optional[str] = None,
     ):
+        """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
+        the MXU (the TPU analogue of the reference's TensorRT int8 engines).
+        Activation scales are calibrated automatically from the first batch
+        (see :meth:`calibrate` to use a dedicated calibration set)."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.model = model
         self.params = params
         self.dilation_pixels = dilation_pixels
         self.max_bucket = max_bucket
         self.dtype = dtype
+        self.quantize = quantize
+        self._scales: Optional[dict] = None
         self._compiled: Dict[Tuple[int, int], Any] = {}
+
+    def calibrate(self, images: np.ndarray, rois: np.ndarray) -> None:
+        """Record per-layer activation ranges from (images, rois) and fold
+        them into the int8 serving graphs (pointwise max over calls)."""
+        from .ops.quant import calibration, collect_scales, merge_scales
+
+        bucket = roi_bucket(max(rois.shape[0], 1), max_bucket=self.max_bucket)
+        rois_p = jnp.asarray(pad_rois(np.asarray(rois, np.float32), bucket))
+
+        @jax.jit
+        def run(params, images, rois):
+            with calibration():
+                return self.model.apply(params, images, rois, train=False,
+                                        mutable=["calib"])
+
+        _, cv = run(self.params, jnp.asarray(images, self.dtype), rois_p)
+        scales = collect_scales(jax.tree.map(float, cv["calib"]))
+        if self._scales:
+            scales = merge_scales(self._scales, scales)
+        self._scales = scales
+        self._compiled.clear()
 
     def _fn(self, batch: int, bucket: int):
         key = (batch, bucket)
         if key not in self._compiled:
             dil = self.dilation_pixels
+            from .ops.quant import int8_serving
+            use_int8 = self.quantize == "int8"
+            scales = self._scales
 
             @jax.jit
             def run(params, images, rois):
-                logits, aux = self.model.apply(params, images, rois, train=False)
+                # the context is consulted at trace time
+                with int8_serving(use_int8, scales):
+                    logits, aux = self.model.apply(params, images, rois, train=False)
                 inst, binary = deployed_outputs(logits, aux["full_image_logits"], rois, dil)
                 return inst, binary, logits
 
@@ -114,6 +149,8 @@ class InferenceEngine:
         Returns (instance_masks (N, mh, mw, 1), binary_masks (B, H, W, 1)).
         """
         n = rois.shape[0]
+        if self.quantize == "int8" and self._scales is None:
+            self.calibrate(images, rois)
         bucket = roi_bucket(max(n, 1), max_bucket=self.max_bucket)
         rois_p = pad_rois(np.asarray(rois, np.float32), bucket)
         fn = self._fn(images.shape[0], bucket)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import get_activation
+from ..ops.quant import QConv
 from ..ops.sampling import resize_bilinear, roi_align
 from .blocks import ConvNormAct, ResidualBlock
 from .heads import HierarchicalHeadV2, PretrainedUNetGuidedHead, RefinedHierarchicalHead
@@ -134,7 +135,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
             activation=self.activation, activation_beta=self.activation_beta,
         )
         if use_refinement:
-            self.feature_combiner = nn.Conv(self.feature_dim, (1, 1), name="feature_combiner")
+            self.feature_combiner = QConv(self.feature_dim, (1, 1), name="feature_combiner")
             self.head = RefinedHierarchicalHead(
                 use_boundary_refinement=self.use_boundary_refinement,
                 use_progressive_upsampling=self.use_progressive_upsampling,

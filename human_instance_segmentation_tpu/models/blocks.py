@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.activations import get_activation
+from ..ops.quant import QConv
 from ..ops.norms import get_normalization
 
 
@@ -33,7 +34,7 @@ class ConvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel
-        x = nn.Conv(
+        x = QConv(
             self.features, (k, k), strides=(self.stride, self.stride),
             padding=k // 2, use_bias=self.use_bias, name="conv",
         )(x)
@@ -54,10 +55,10 @@ class ResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = get_activation(self.activation, self.activation_beta)
         g = min(self.norm_groups, self.features)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(x)
+        h = QConv(self.features, (3, 3), padding=1, name="conv1")(x)
         h = get_normalization(self.norm, self.features, g, name="norm1")(h, train=train)
         h = act(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(h)
+        h = QConv(self.features, (3, 3), padding=1, name="conv2")(h)
         h = get_normalization(self.norm, self.features, g, name="norm2")(h, train=train)
         return act(h + x)
 

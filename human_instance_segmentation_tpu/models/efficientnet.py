@@ -79,8 +79,54 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder matching nn.Conv's tree for the fused path."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """nn.BatchNorm's parameter/stat tree without the apply."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _SEParams(nn.Module):
+    """SqueezeExcite's parameter tree (reduce/expand convs with bias)."""
+
+    squeeze_channels: int
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        kr, br = _ConvKernel((1, 1, self.channels, self.squeeze_channels),
+                             use_bias=True, name="reduce")()
+        ke, be = _ConvKernel((1, 1, self.squeeze_channels, self.channels),
+                             use_bias=True, name="expand")()
+        return kr, br, ke, be
+
+
 class MBConv(nn.Module):
-    """Mobile inverted bottleneck with squeeze-excitation."""
+    """Mobile inverted bottleneck with squeeze-excitation.
+
+    ``fused=True`` (serving only) computes the identical math through the
+    fused Pallas kernel (ops/pallas_mbconv.py): BNs folded into the convs,
+    per-image VMEM-resident tiles, same parameter tree.
+    """
 
     out_channels: int
     expand_ratio: int
@@ -88,11 +134,14 @@ class MBConv(nn.Module):
     stride: int
     se_ratio: float = 0.25
     drop_path: float = 0.0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         mid = in_ch * self.expand_ratio
+        if self.fused and not train:
+            return self._fused(x, in_ch, mid)
         h = x
         if self.expand_ratio != 1:
             h = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(h)
@@ -117,12 +166,48 @@ class MBConv(nn.Module):
             h = h + x
         return h
 
+    def _fused(self, x: jnp.ndarray, in_ch: int, mid: int) -> jnp.ndarray:
+        from ..ops.pallas_mbconv import fold_bn, fused_mbconv_chw
+
+        dt = x.dtype
+        if self.expand_ratio != 1:
+            ke, _ = _ConvKernel((1, 1, in_ch, mid), name="expand_conv")()
+            g0, b0 = fold_bn(*_BNParams(name="bn0")(mid))
+            we = (ke[0, 0].astype(jnp.float32) * g0[None]).astype(dt)
+            be = b0.astype(dt)
+        else:
+            we = be = None
+        kdw, _ = _ConvKernel((self.kernel, self.kernel, 1, mid), name="dw_conv")()
+        g1, b1 = fold_bn(*_BNParams(name="bn1")(mid))
+        wdw = (kdw[:, :, 0].astype(jnp.float32) * g1[None, None]).astype(dt)
+        bdw = b1.astype(dt)
+        sq = max(1, int(in_ch * self.se_ratio))
+        kr, br_, kse, bse = _SEParams(sq, mid, name="se")()
+        kp, _ = _ConvKernel((1, 1, mid, self.out_channels), name="project_conv")()
+        g2, b2 = fold_bn(*_BNParams(name="bn2")(self.out_channels))
+        wp = (kp[0, 0].astype(jnp.float32) * g2[None]).astype(dt)
+        bp = b2.astype(dt)
+        residual = self.stride == 1 and in_ch == self.out_channels
+        y = fused_mbconv_chw(
+            jnp.transpose(x, (0, 3, 1, 2)), we, be, wdw, bdw,
+            kr[0, 0].astype(dt), br_.astype(dt),
+            kse[0, 0].astype(dt), bse.astype(dt),
+            wp, bp,
+            kernel=self.kernel, stride=self.stride, residual=residual,
+            interpret=jax.default_backend() == "cpu")
+        return jnp.transpose(y, (0, 2, 3, 1))
+
 
 class EfficientNetEncoder(nn.Module):
-    """EfficientNet backbone returning five multi-scale feature maps."""
+    """EfficientNet backbone returning five multi-scale feature maps.
+
+    ``fused_blocks``: serving-only — run the first N MBConv blocks (the
+    high-resolution, HBM-bound ones) through the fused Pallas kernel.
+    """
 
     variant: str = "b0"
     drop_path_rate: float = 0.0
+    fused_blocks: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -149,6 +234,7 @@ class EfficientNetEncoder(nn.Module):
                     kernel=k,
                     stride=s if j == 0 else 1,
                     drop_path=dp,
+                    fused=block_idx < self.fused_blocks,
                     name=f"stage{stage_i}_block{j}",
                 )(h, train=train)
                 block_idx += 1

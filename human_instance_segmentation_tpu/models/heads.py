@@ -27,6 +27,7 @@ from ..ops.activations import get_activation
 from ..ops.attention import ChannelAttention, SpatialAttention
 from ..ops.norms import get_normalization
 from ..ops.sampling import resize_bilinear
+from ..ops.quant import QConv
 from .blocks import ConvNormAct, ConvTranspose2x, Dropout2d, ResidualBlock, max_pool_2x, pixel_shuffle
 
 
@@ -66,8 +67,8 @@ class EnhancedUNet(nn.Module):
         a = ResidualBlock(chans[-1], name="bott_res0", **kw)(x, train=train)
         a = ResidualBlock(chans[-1], name="bott_res1", **kw)(a, train=train)
         a = ConvNormAct(chans[-1], name="bott_cna", **kw)(a, train=train)
-        a = jax.nn.sigmoid(nn.Conv(chans[-1], (1, 1), name="bott_att")(a))
-        x = nn.Conv(chans[-1], (3, 3), padding=1, name="bott_conv")(x) * a
+        a = jax.nn.sigmoid(QConv(chans[-1], (1, 1), name="bott_att")(a))
+        x = QConv(chans[-1], (3, 3), padding=1, name="bott_conv")(x) * a
 
         for d, i in enumerate(range(self.depth - 1, 0, -1)):
             x = ConvTranspose2x(chans[i - 1], name=f"up{d}")(x)
@@ -80,7 +81,7 @@ class EnhancedUNet(nn.Module):
             x = ResidualBlock(chans[i - 1], name=f"dec{d}_res1", **kw)(x, train=train)
 
         x = ConvNormAct(chans[0] // 2, name="final_cna", **kw)(x, train=train)
-        return nn.Conv(2, (1, 1), name="final_out")(x)
+        return QConv(2, (1, 1), name="final_out")(x)
 
 
 class ShallowUNet(nn.Module):
@@ -117,7 +118,7 @@ class ShallowUNet(nn.Module):
         h = jnp.concatenate([h, e1], axis=-1)
         h = ConvNormAct(bc, name="dec1a", **kw)(h, train=train)
         h = ConvNormAct(bc, name="dec1b", **kw)(h, train=train)
-        return nn.Conv(2, (1, 1), name="final")(h)
+        return QConv(2, (1, 1), name="final")(h)
 
 
 class HierarchicalHeadV2(nn.Module):
@@ -167,16 +168,16 @@ class HierarchicalHeadV2(nn.Module):
         up = ConvTranspose2x(32, name="upsample_deconv")(bg_fg_low)
         up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="upsample_norm")(up, train=train)
         up = act(up)
-        bg_fg_logits = nn.Conv(2, (1, 1), name="upsample_out")(up)
+        bg_fg_logits = QConv(2, (1, 1), name="upsample_out")(up)
         if bg_fg_logits.shape[1:3] != (mh, mw):
             bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
         bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
 
         # Foreground attention gate from the low-res bg/fg logits
-        g = act(nn.Conv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
+        g = act(QConv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
         g = Dropout2d(self.dropout_rate * 0.5, name="gate_drop")(g, train=train)
-        g = act(nn.Conv(mc // 2, (1, 1), name="gate1")(g))
-        fg_attention = jax.nn.sigmoid(nn.Conv(mc, (1, 1), name="gate2")(g))
+        g = act(QConv(mc // 2, (1, 1), name="gate1")(g))
+        fg_attention = jax.nn.sigmoid(QConv(mc, (1, 1), name="gate2")(g))
 
         # Branch 2: target vs non-target on gated shared features
         t = shared * fg_attention
@@ -194,7 +195,7 @@ class HierarchicalHeadV2(nn.Module):
         t = ResidualBlock(mc // 2, name="tnt_res1", norm=self.norm,
                           norm_groups=min(self.norm_groups, mc // 2),
                           activation=self.activation, activation_beta=self.activation_beta)(t, train=train)
-        tnt_logits = nn.Conv(2, (1, 1), name="tnt_out")(t)
+        tnt_logits = QConv(2, (1, 1), name="tnt_out")(t)
         if tnt_logits.shape[1:3] != (mh, mw):
             tnt_logits = resize_bilinear(tnt_logits, mh, mw)
 
@@ -246,14 +247,14 @@ class HierarchicalHeadV1(nn.Module):
         bg_fg_low = ShallowUNet(base_channels=128, name="bg_vs_fg_unet", **kw)(shared, train=train)
         up = ConvTranspose2x(32, name="upsample_deconv")(bg_fg_low)
         up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="upsample_norm")(up, train=train)
-        bg_fg_logits = nn.Conv(2, (1, 1), name="upsample_out")(act(up))
+        bg_fg_logits = QConv(2, (1, 1), name="upsample_out")(act(up))
         if bg_fg_logits.shape[1:3] != (mh, mw):
             bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
         bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
 
-        g = act(nn.Conv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
-        g = act(nn.Conv(mc // 2, (1, 1), name="gate1")(g))
-        fg_attention = jax.nn.sigmoid(nn.Conv(mc, (1, 1), name="gate2")(g))
+        g = act(QConv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
+        g = act(QConv(mc // 2, (1, 1), name="gate1")(g))
+        fg_attention = jax.nn.sigmoid(QConv(mc, (1, 1), name="gate2")(g))
 
         t = shared * fg_attention
         t = ResidualBlock(mc, name="tnt_res0", **kw)(t, train=train)
@@ -263,7 +264,7 @@ class HierarchicalHeadV1(nn.Module):
         t = ResidualBlock(mc // 2, name="tnt_res1", norm=self.norm,
                           norm_groups=min(self.norm_groups, mc // 2),
                           activation=self.activation, activation_beta=self.activation_beta)(t, train=train)
-        tnt_logits = nn.Conv(2, (1, 1), name="tnt_out")(t)
+        tnt_logits = QConv(2, (1, 1), name="tnt_out")(t)
         if tnt_logits.shape[1:3] != (mh, mw):
             tnt_logits = resize_bilinear(tnt_logits, mh, mw)
 
@@ -307,24 +308,24 @@ class HierarchicalHeadV3(nn.Module):
                                  name="bg_vs_fg_unet", **kw)(shared, train=train)
         up = ConvTranspose2x(32, name="up_bgfg_deconv")(bg_fg_low)
         up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="up_bgfg_norm")(up, train=train)
-        bg_fg_logits = nn.Conv(2, (1, 1), name="up_bgfg_out")(act(up))
+        bg_fg_logits = QConv(2, (1, 1), name="up_bgfg_out")(act(up))
         if bg_fg_logits.shape[1:3] != (mh, mw):
             bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
         bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
 
-        g = act(nn.Conv(mc // 4, (1, 1), name="fg_gate0")(bg_fg_low))
-        fg_attention = jax.nn.sigmoid(nn.Conv(mc, (1, 1), name="fg_gate1")(g))
+        g = act(QConv(mc // 4, (1, 1), name="fg_gate0")(bg_fg_low))
+        fg_attention = jax.nn.sigmoid(QConv(mc, (1, 1), name="fg_gate1")(g))
 
         gated = shared * fg_attention
         tnt_low = ShallowUNet(base_channels=64, name="target_nontarget_unet", **kw)(gated, train=train)
         upt = ConvTranspose2x(32, name="up_tnt_deconv")(tnt_low)
         upt = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="up_tnt_norm")(upt, train=train)
-        tnt_logits = nn.Conv(2, (1, 1), name="up_tnt_out")(act(upt))
+        tnt_logits = QConv(2, (1, 1), name="up_tnt_out")(act(upt))
         if tnt_logits.shape[1:3] != (mh, mw):
             tnt_logits = resize_bilinear(tnt_logits, mh, mw)
 
-        tg = act(nn.Conv(32, (1, 1), name="target_gate0")(tnt_low))
-        target_attention = jax.nn.sigmoid(nn.Conv(1, (1, 1), name="target_gate1")(tg))
+        tg = act(QConv(32, (1, 1), name="target_gate0")(tnt_low))
+        target_attention = jax.nn.sigmoid(QConv(1, (1, 1), name="target_gate1")(tg))
         target_attention_up = resize_bilinear(target_attention, mh, mw)
 
         fg_p = bg_fg_probs[..., 1:2]
@@ -371,7 +372,7 @@ class HierarchicalHeadV4(nn.Module):
             u = get_normalization(self.norm, 64, min(self.norm_groups, 64), name=f"{name}_norm")(u, train=train)
             u = act(u)
             u = ResidualBlock(64, name=f"{name}_res", **kw)(u, train=train)
-            out = nn.Conv(2, (1, 1), name=f"{name}_out")(u)
+            out = QConv(2, (1, 1), name=f"{name}_out")(u)
             if out.shape[1:3] != (mh, mw):
                 out = resize_bilinear(out, mh, mw)
             return low, out
@@ -388,7 +389,7 @@ class HierarchicalHeadV4(nn.Module):
 
         f = ConvNormAct(64, name="fusion_in", **kw)(attended, train=train)
         f = ResidualBlock(64, name="fusion_res", **kw)(f, train=train)
-        final = nn.Conv(3, (1, 1), name="fusion_out")(f)
+        final = QConv(3, (1, 1), name="fusion_out")(f)
 
         aux = {"bg_fg_logits": bg_fg_logits, "bg_fg_logits_low": bg_fg_low,
                "target_nontarget_logits": tnt_logits, "target_logits_low": tnt_low,
@@ -452,7 +453,7 @@ class ProgressiveUpsamplingDecoder(nn.Module):
             x = get_normalization(self.norm, ch, min(self.norm_groups, ch), name=f"stage{i}_norm")(x, train=train)
             x = get_activation(self.activation, self.activation_beta)(x)
             x = ResidualBlock(ch, name=f"stage{i}_res", **kw)(x, train=train)
-        x = nn.Conv(self.num_classes, (1, 1), name="proj")(x)
+        x = QConv(self.num_classes, (1, 1), name="proj")(x)
         if x.shape[1:3] != tuple(target_hw):
             x = resize_bilinear(x, target_hw[0], target_hw[1])
         return x
@@ -467,7 +468,7 @@ class SubPixelDecoder(nn.Module):
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         r = self.upscale_factor
-        x = nn.Conv(self.num_classes * r * r, (3, 3), padding=1, name="conv")(features)
+        x = QConv(self.num_classes * r * r, (3, 3), padding=1, name="conv")(features)
         return pixel_shuffle(x, r)
 
 
@@ -486,7 +487,7 @@ class ContourBranch(nn.Module):
                   activation=self.activation, activation_beta=self.activation_beta)
         x = ConvNormAct(self.contour_channels, name="c0", **kw)(features, train=train)
         x = ConvNormAct(self.contour_channels, name="c1", **kw)(x, train=train)
-        return jax.nn.sigmoid(nn.Conv(1, (1, 1), name="out")(x))
+        return jax.nn.sigmoid(QConv(1, (1, 1), name="out")(x))
 
 
 class DistanceTransformDecoder(nn.Module):
@@ -505,7 +506,7 @@ class DistanceTransformDecoder(nn.Module):
                   activation=self.activation, activation_beta=self.activation_beta)
         x = ConvNormAct(self.distance_channels, name="d0", **kw)(features, train=train)
         x = ResidualBlock(self.distance_channels, name="d_res", **kw)(x, train=train)
-        distance_map = nn.Conv(1, (1, 1), name="out")(x)
+        distance_map = QConv(1, (1, 1), name="out")(x)
         threshold = self.param("threshold", lambda k: jnp.asarray(0.3))
         mask = jax.nn.sigmoid((distance_map - threshold) * 10.0)
         return mask, distance_map
@@ -616,7 +617,7 @@ class PretrainedUNetGuidedHead(nn.Module):
             fg_prob_ds = fg_prob
 
         x = jnp.concatenate([features, fg_prob_ds], axis=-1)
-        x = nn.Conv(features.shape[-1], (1, 1), name="input_adjust")(x)
+        x = QConv(features.shape[-1], (1, 1), name="input_adjust")(x)
         x = ConvNormAct(mc, name="fp_in", **kw)(x, train=train)
         x = Dropout2d(self.dropout_rate, name="fp_drop0")(x, train=train)
         x = ResidualBlock(mc, name="fp_res0", **kw)(x, train=train)
@@ -624,8 +625,8 @@ class PretrainedUNetGuidedHead(nn.Module):
         x = ResidualBlock(mc, name="fp_res1", **kw)(x, train=train)
 
         if self.use_attention_module:
-            a = act(nn.Conv(mc // 4, (1, 1), name="att0")(x))
-            a = jax.nn.sigmoid(nn.Conv(1, (1, 1), name="att1")(a))
+            a = act(QConv(mc // 4, (1, 1), name="att0")(x))
+            a = jax.nn.sigmoid(QConv(1, (1, 1), name="att1")(a))
             x = x * (a * (0.5 + 0.5 * fg_prob_ds))
 
         h = ConvNormAct(mc // 2, name="cls0", **kw)(x, train=train)

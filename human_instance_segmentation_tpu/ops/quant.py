@@ -1,0 +1,199 @@
+"""Int8 serving-mode convolutions (dynamic post-training quantization).
+
+The reference deploys through TensorRT, whose engines run fp16/int8 tactics
+(/root/reference/README.md:553-563). The TPU-native equivalent: the MXU
+executes s8xs8->s32 at twice the bf16 rate (measured 2.7x at stage-2 head
+shapes on this chip, scripts/profile_r2.py lineage), so serving can run the
+dense stage-2 convolutions in int8 with
+- dynamic per-tensor activation scales (abs-max over the batch, computed
+  in-graph each call — no calibration dataset or scale-store subsystem),
+- static per-output-channel weight scales (folded from the live params at
+  trace time).
+
+``QConv`` is a drop-in for ``nn.Conv`` with an IDENTICAL parameter tree
+(kernel/bias names, shapes, initialisers), so checkpoints are
+interchangeable and the mode is a pure serving switch:
+
+    with int8_serving():
+        logits, aux = model.apply(params, images, rois, train=False)
+
+Outside the context (or under training) QConv computes exactly what
+nn.Conv computes. Accuracy: int8 is NOT bit-exact — the mode is validated
+by mask-agreement/mIoU-delta checks (tests/test_quant.py, bench_int8).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_STATE = threading.local()
+
+
+def quant_enabled() -> bool:
+    return getattr(_STATE, "enabled", False)
+
+
+def calibrating() -> bool:
+    return getattr(_STATE, "calibrating", False)
+
+
+def static_scales() -> dict | None:
+    return getattr(_STATE, "scales", None)
+
+
+class int8_serving:
+    """Context manager enabling the int8 path of every QConv traced inside.
+
+    With ``scales`` (a {module-path: float} dict from :func:`calibrate`),
+    activation quantization uses those STATIC per-layer scales — the
+    abs-max reduce disappears and the quantize rounds fuse into the
+    preceding op's epilogue (measured: dynamic scales gave only 1.2x on
+    stage-2 vs 2.7x for the bare int8 conv). Without scales, falls back to
+    dynamic per-tensor quantization.
+    """
+
+    def __init__(self, enabled: bool = True, scales: dict | None = None):
+        self.enabled = enabled
+        self.scales = scales
+
+    def __enter__(self):
+        self.prev = (quant_enabled(), static_scales())
+        _STATE.enabled = self.enabled
+        _STATE.scales = self.scales
+        return self
+
+    def __exit__(self, *exc):
+        _STATE.enabled, _STATE.scales = self.prev
+        return False
+
+
+class calibration:
+    """Context manager: QConv sows per-layer input abs-max into the
+    ``calib`` collection (apply with ``mutable=["calib"]``)."""
+
+    def __enter__(self):
+        self.prev = calibrating()
+        _STATE.calibrating = True
+        return self
+
+    def __exit__(self, *exc):
+        _STATE.calibrating = self.prev
+        return False
+
+
+def collect_scales(calib_vars, margin: float = 1.0) -> dict:
+    """Flatten a ``calib`` variable collection into {path: scale} floats."""
+    flat = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if k == "amax":
+                # flax sow appends a tuple per call
+                amax = max(float(x) for x in v) if isinstance(v, tuple) else float(v)
+                flat["/".join(path)] = max(amax * margin, 1e-6) / 127.0
+            else:
+                walk(v, path + (k,))
+
+    walk(calib_vars, ())
+    return flat
+
+
+def merge_scales(a: dict, b: dict) -> dict:
+    """Pointwise max of two scale dicts (multi-batch calibration)."""
+    return {k: max(a.get(k, 0.0), b.get(k, 0.0)) for k in set(a) | set(b)}
+
+
+def quantize_symmetric(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest symmetric int8 quantization with saturation."""
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def qconv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    strides: Tuple[int, int],
+    padding,
+    static_scale: float | None = None,
+) -> jnp.ndarray:
+    """Quantized NHWC conv: int8 MXU compute, bf16 result.
+
+    x: (B, H, W, Ci) float; w: (kh, kw, Ci, Co) float. Activation scale is
+    ``static_scale`` when given (calibrated; quantize fuses into the
+    producer) else dynamic per-tensor abs-max. Weight scales are per
+    output channel.
+    """
+    if static_scale is not None:
+        sx = jnp.float32(static_scale)
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-6) / 127.0
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32), 1e-8) / 127.0
+    xq = quantize_symmetric(x, sx)
+    wq = quantize_symmetric(w, sw)
+    y = lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
+class QConv(nn.Module):
+    """nn.Conv-compatible conv that runs int8 inside :class:`int8_serving`.
+
+    Parameter tree matches nn.Conv exactly (``kernel`` (kh, kw, Ci, Co)
+    lecun_normal, optional ``bias`` zeros), so models can swap freely
+    between the two without touching checkpoints. Only the plain dense case
+    is supported (feature_group_count 1, dilation 1); anything else should
+    keep using nn.Conv.
+
+    The int8 path is skipped for tiny contractions (kh*kw*Ci < 48), where
+    quantization noise is large relative to the MXU time saved.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    strides: Union[int, Sequence[int], None] = 1
+    padding: Union[str, int, Sequence] = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks, ks)
+        st = self.strides or 1
+        if isinstance(st, int):
+            st = (st, st)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*ks, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        kernel = kernel.astype(x.dtype)
+        eligible = ks[0] * ks[1] * x.shape[-1] >= 48
+        if calibrating() and eligible:
+            self.sow("calib", "amax", jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if quant_enabled() and eligible:
+            scales = static_scales()
+            sx = None
+            if scales is not None:
+                sx = scales.get("/".join(self.path))
+            y = qconv2d(x, kernel, st, pad, static_scale=sx)
+        else:
+            y = lax.conv_general_dilated(
+                x, kernel, st, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
