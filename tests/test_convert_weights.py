@@ -72,6 +72,7 @@ def _fake_torch_sd(variant: str, flax_vars) -> dict:
     return sd
 
 
+@pytest.mark.slow
 def test_convert_round_trip_structure():
     variant = "tiny"
     model = PeopleSegmentationUNet(encoder_variant=variant,

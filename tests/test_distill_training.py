@@ -21,6 +21,7 @@ from human_instance_segmentation_tpu.training.distill import (
 from human_instance_segmentation_tpu.training.state import TrainState
 
 
+@pytest.mark.slow
 def test_binary_distill_step():
     student = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=(16, 16, 8, 8, 8))
     teacher = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=(16, 16, 8, 8, 8))
@@ -46,6 +47,7 @@ def test_binary_distill_step():
     assert sum(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_hierarchical_distill_step():
     kw = dict(roi_size=(8, 8), mask_size=(16, 16), image_size=(32, 32),
               base_channels=8, depth=2, mid_channels=16, feature_dim=16,

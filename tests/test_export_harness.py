@@ -36,6 +36,7 @@ def test_detect_architecture():
     assert detect_architecture_from_name("whatever") == "b1"
 
 
+@pytest.mark.slow
 def test_fold_batch_stats_is_equivalent(tiny_model, rng):
     model, variables = tiny_model
     images = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
@@ -51,6 +52,7 @@ def test_fold_batch_stats_is_equivalent(tiny_model, rng):
     assert all((m == 0).all() for m in leaf_means)
 
 
+@pytest.mark.slow
 def test_export_round_trip(tiny_model, tmp_path, rng):
     model, variables = tiny_model
     d = export_model(
@@ -106,6 +108,7 @@ def test_visualize_helpers(rng):
     assert cc.shape == (2, 2, 3)
 
 
+@pytest.mark.slow
 def test_validation_cli_synthetic():
     from human_instance_segmentation_tpu.validate import run_validation
 

@@ -30,6 +30,7 @@ RNG = jax.random.PRNGKey(0)
 ROIS = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8], [0.0, 0.1, 0.1, 0.5, 0.9]])
 
 
+@pytest.mark.slow
 def test_conv_feature_pyramid_specs():
     m = ConvFeaturePyramid(layers=("layer_3", "layer_22", "layer_34"))
     x = jnp.zeros((1, 64, 64, 3))
@@ -40,6 +41,7 @@ def test_conv_feature_pyramid_specs():
         assert f.shape == (1, 64 // stride, 64 // stride, ch), layer
 
 
+@pytest.mark.slow
 def test_multiscale_model_all_fusions():
     for method in ("adaptive", "concat", "sum"):
         m = MultiScaleSegmentationModel(
@@ -51,6 +53,7 @@ def test_multiscale_model_all_fusions():
         assert logits.shape == (2, 28, 28, 3), method
 
 
+@pytest.mark.slow
 def test_multiscale_head_only_external_features():
     m = MultiScaleSegmentationModel(roi_size=(14, 14), mask_size=(28, 28), mid_channels=32)
     feats = {
@@ -66,6 +69,7 @@ def test_multiscale_head_only_external_features():
     assert "pyramid" not in params["params"]
 
 
+@pytest.mark.slow
 def test_variable_roi_model():
     m = VariableROISegmentationModel(
         roi_sizes={"layer_3": 56, "layer_22": 42, "layer_34": 28},
@@ -77,6 +81,7 @@ def test_variable_roi_model():
     assert aux["roi_features"].shape == (2, 28, 28, 32)
 
 
+@pytest.mark.slow
 def test_baseline_model():
     m = ROISegmentationModel(roi_size=(14, 14), mask_size=(28, 28))
     x = jnp.zeros((1, 64, 64, 3))
@@ -85,6 +90,7 @@ def test_baseline_model():
     assert logits.shape == (2, 28, 28, 3)
 
 
+@pytest.mark.slow
 def test_head_variants():
     feats = jnp.zeros((2, 14, 14, 24))
     for cls, kw in ((HierarchicalHeadV1, {}),

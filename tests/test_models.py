@@ -19,6 +19,7 @@ from human_instance_segmentation_tpu.models.heads import (
 )
 
 
+@pytest.mark.slow
 def test_efficientnet_b0_taps():
     m = EfficientNetEncoder(variant="b0")
     x = jnp.zeros((1, 64, 64, 3))
@@ -42,6 +43,7 @@ def test_efficientnet_channel_table():
     assert encoder_feature_channels("b7") == (64, 48, 80, 224, 640)
 
 
+@pytest.mark.slow
 def test_people_seg_unet_and_wrapper():
     m = PeopleSegmentationUNet(encoder_variant="b0")
     x = jnp.ones((1, 64, 64, 3)) * 0.5
@@ -58,6 +60,7 @@ def test_people_seg_unet_and_wrapper():
     np.testing.assert_allclose(np.asarray(two[..., 1]), -np.asarray(out[..., 0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_enhanced_unet_shapes():
     m = EnhancedUNet(base_channels=8, depth=3)
     x = jnp.zeros((2, 16, 12, 24))
@@ -66,6 +69,7 @@ def test_enhanced_unet_shapes():
     assert out.shape == (2, 16, 12, 2)
 
 
+@pytest.mark.slow
 def test_shallow_unet_shapes():
     m = ShallowUNet(base_channels=8)
     x = jnp.zeros((2, 28, 28, 16))
@@ -73,6 +77,7 @@ def test_shallow_unet_shapes():
     assert m.apply(params, x, train=False).shape == (2, 28, 28, 2)
 
 
+@pytest.mark.slow
 def test_hierarchical_head_v2():
     m = HierarchicalHeadV2(mid_channels=32, mask_size=(32, 24), base_channels=8, depth=3)
     x = jnp.zeros((3, 16, 12, 20))
@@ -88,6 +93,7 @@ def test_hierarchical_head_v2():
         np.asarray(logits[..., 0]), np.asarray(aux["bg_fg_logits"][..., 0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_hierarchical_head_v2_attention_and_dropout():
     m = HierarchicalHeadV2(mid_channels=32, mask_size=(16, 16), base_channels=8,
                            depth=2, use_attention_module=True, dropout_rate=0.5)
@@ -99,6 +105,7 @@ def test_hierarchical_head_v2_attention_and_dropout():
     assert not np.allclose(np.asarray(l1), np.asarray(l2))  # dropout active in train
 
 
+@pytest.mark.slow
 def test_refined_head_aux_outputs():
     m = RefinedHierarchicalHead(
         mid_channels=32, mask_size=(32, 24), base_channels=8, depth=2,
@@ -115,6 +122,7 @@ def test_refined_head_aux_outputs():
     assert (c >= 0).all() and (c <= 1).all()
 
 
+@pytest.mark.slow
 def test_refined_head_boundary_and_decoders():
     for flags in (dict(use_boundary_refinement=True),
                   dict(use_progressive_upsampling=True),

@@ -36,6 +36,7 @@ def test_mesh_has_8_devices():
     assert int(np.prod(mesh.devices.shape)) == 8
 
 
+@pytest.mark.slow
 def test_roi_sharded_inference_matches_single_device(tiny):
     model, variables = tiny
     mesh = create_mesh(8)
@@ -65,6 +66,7 @@ def test_roi_sharded_inference_matches_single_device(tiny):
     np.testing.assert_allclose(np.asarray(bin_s), np.asarray(bin_r), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_on_mesh(tiny):
     model, variables = tiny
     mesh = create_mesh(4)

@@ -52,6 +52,7 @@ def test_qconv_small_contraction_skipped():
     np.testing.assert_array_equal(np.asarray(y8), np.asarray(q.apply(v, x)))
 
 
+@pytest.mark.slow
 def test_calibration_and_static_scales_flagship():
     m, p = create_flagship(variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
                            image_size=(64, 64))
@@ -78,6 +79,7 @@ def test_merge_scales():
         "a": 1.0, "b": 3.0, "c": 4.0}
 
 
+@pytest.mark.slow
 def test_engine_int8_mode():
     m, p = create_flagship(variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
                            image_size=(64, 64))

@@ -47,6 +47,7 @@ def test_conv_up_s2d_exact_including_borders(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("with_skip", [True, False])
 def test_decoder_block_fused_matches_plain(rng, with_skip):
     x = jnp.asarray(rng.standard_normal((2, 6, 8, 10)).astype(np.float32))
@@ -67,6 +68,7 @@ def test_decoder_block_fused_matches_plain(rng, with_skip):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_fused_tail_matches_plain():
     dec = (16, 16, 8, 8, 8)
     plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec)

@@ -17,6 +17,7 @@ from human_instance_segmentation_tpu.training.steps import (
 )
 
 
+@pytest.mark.slow
 def test_scanned_equals_sequential():
     model = HierarchicalInstanceSegmenter(
         encoder_variant="tiny", roi_size=(8, 8), mask_size=(16, 16),

@@ -23,6 +23,7 @@ from human_instance_segmentation_tpu.models.assembly import (
 )
 from human_instance_segmentation_tpu.training.state import TrainState
 from human_instance_segmentation_tpu.training.steps import make_train_step
+import pytest
 
 
 def _tiny_model_and_batch():
@@ -41,6 +42,7 @@ def _tiny_model_and_batch():
     return model, v, batch
 
 
+@pytest.mark.slow
 def test_bf16_train_step_keeps_f32_masters():
     model, v, batch = _tiny_model_and_batch()
     tx = optax.adam(1e-3)
