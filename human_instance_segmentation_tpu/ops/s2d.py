@@ -61,6 +61,10 @@ def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
 
 
 def _conv(x, k, padding):
+    # Measured: int8-quantizing these decoder-tail convs LOSES throughput
+    # (649 -> 531 img/s flagship) — they are partially memory-bound and the
+    # quantize/abs-max passes over full-res tensors cost more than the MXU
+    # saves. Int8 serving therefore covers only the stage-2 QConv stack.
     return lax.conv_general_dilated(
         x, k, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
