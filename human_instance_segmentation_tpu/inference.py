@@ -87,11 +87,18 @@ class InferenceEngine:
         max_bucket: int = 64,
         dtype: jnp.dtype = jnp.float32,
         quantize: Optional[str] = None,
+        fused_head: bool = False,
     ):
         """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
         the MXU (the TPU analogue of the reference's TensorRT int8 engines).
         Activation scales are calibrated automatically from the first batch
-        (see :meth:`calibrate` to use a dedicated calibration set)."""
+        (see :meth:`calibrate` to use a dedicated calibration set).
+
+        ``fused_head=True`` traces the stage-2 conv+LayerNorm2d+relu units
+        through the fused Pallas kernel (ops/pallas_head.py) and runs the
+        head's mask-resolution upsample branches in S2D form — exact math,
+        fewer memory passes. Mutually exclusive with ``quantize`` (the int8
+        path takes precedence where both apply)."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.model = model
@@ -100,6 +107,7 @@ class InferenceEngine:
         self.max_bucket = max_bucket
         self.dtype = dtype
         self.quantize = quantize
+        self.fused_head = fused_head
         self._scales: Optional[dict] = None
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
@@ -129,13 +137,15 @@ class InferenceEngine:
         if key not in self._compiled:
             dil = self.dilation_pixels
             from .ops.quant import int8_serving
+            from .ops.pallas_head import head_fusion
             use_int8 = self.quantize == "int8"
+            use_fusion = self.fused_head
             scales = self._scales
 
             @jax.jit
             def run(params, images, rois):
-                # the context is consulted at trace time
-                with int8_serving(use_int8, scales):
+                # the contexts are consulted at trace time
+                with int8_serving(use_int8, scales), head_fusion(use_fusion):
                     logits, aux = self.model.apply(params, images, rois, train=False)
                 inst, binary = deployed_outputs(logits, aux["full_image_logits"], rois, dil)
                 return inst, binary, logits

@@ -112,12 +112,16 @@ class HierarchicalInstanceSegmenter(nn.Module):
     # Serving: run the last N stage-1 decoder stages in space-to-depth form
     # (exact math, see ops/s2d.py) — the flagship's dominant cost otherwise.
     fused_tail: int = 0
+    # Serving: first N encoder MBConv blocks via the fused Pallas kernel.
+    encoder_fused_blocks: int = 0
 
     def setup(self):
         self.pretrained_unet = PeopleSegmentationUNet(
             encoder_variant=self.encoder_variant,
             decoder_channels=self.unet_decoder_channels,
-            fused_tail=self.fused_tail, name="pretrained_unet")
+            fused_tail=self.fused_tail,
+            encoder_fused_blocks=self.encoder_fused_blocks,
+            name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
         self.rgb_extractor = RGBPatchFeatureExtractor(
             feature_dim=self.feature_dim, norm=self.norm, norm_groups=self.norm_groups,

@@ -12,11 +12,24 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.activations import get_activation
-from ..ops.quant import QConv
+from ..ops.quant import QConv, quant_enabled
 from ..ops.norms import get_normalization
+from ..ops import pallas_head
+
+
+def _fusable(module, x, train: bool) -> bool:
+    """True when this conv->LayerNorm2d->relu unit should trace the fused
+    Pallas kernel (ops/pallas_head.py) instead of the unfused op chain."""
+    if train or not pallas_head.fusion_enabled() or quant_enabled():
+        return False
+    if module.norm != "layernorm2d" or module.activation != "relu":
+        return False
+    n, h, w, ci = x.shape
+    return pallas_head.fusable_shape(h, w, ci, module.features)
 
 
 class ConvNormAct(nn.Module):
@@ -34,11 +47,21 @@ class ConvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel
-        x = QConv(
+        conv = QConv(
             self.features, (k, k), strides=(self.stride, self.stride),
             padding=k // 2, use_bias=self.use_bias, name="conv",
-        )(x)
-        x = get_normalization(self.norm, self.features, min(self.norm_groups, self.features), name="norm")(x, train=train)
+        )
+        norm = get_normalization(self.norm, self.features,
+                                 min(self.norm_groups, self.features), name="norm")
+        if (self.stride == 1 and k in (1, 3) and self.use_bias
+                and _fusable(self, x, train)):
+            w, b = conv(x, mode="params")
+            g, beta = norm(jnp.zeros((1, 1, 1, self.features), x.dtype), mode="params")
+            return pallas_head.conv_ln_act(
+                x, w.astype(x.dtype), b, g, beta,
+                height=x.shape[1], width=x.shape[2], kernel=k)
+        x = conv(x)
+        x = norm(x, train=train)
         return get_activation(self.activation, self.activation_beta)(x)
 
 
@@ -55,11 +78,27 @@ class ResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = get_activation(self.activation, self.activation_beta)
         g = min(self.norm_groups, self.features)
-        h = QConv(self.features, (3, 3), padding=1, name="conv1")(x)
-        h = get_normalization(self.norm, self.features, g, name="norm1")(h, train=train)
+        conv1 = QConv(self.features, (3, 3), padding=1, name="conv1")
+        norm1 = get_normalization(self.norm, self.features, g, name="norm1")
+        conv2 = QConv(self.features, (3, 3), padding=1, name="conv2")
+        norm2 = get_normalization(self.norm, self.features, g, name="norm2")
+        if x.shape[-1] == self.features and _fusable(self, x, train):
+            zc = jnp.zeros((1, 1, 1, self.features), x.dtype)
+            w1, b1 = conv1(x, mode="params")
+            g1, be1 = norm1(zc, mode="params")
+            w2, b2 = conv2(x, mode="params")
+            g2, be2 = norm2(zc, mode="params")
+            hh, ww = x.shape[1], x.shape[2]
+            h = pallas_head.conv_ln_act(
+                x, w1.astype(x.dtype), b1, g1, be1, height=hh, width=ww)
+            return pallas_head.conv_ln_act(
+                h, w2.astype(x.dtype), b2, g2, be2, residual=x,
+                height=hh, width=ww)
+        h = conv1(x)
+        h = norm1(h, train=train)
         h = act(h)
-        h = QConv(self.features, (3, 3), padding=1, name="conv2")(h)
-        h = get_normalization(self.norm, self.features, g, name="norm2")(h, train=train)
+        h = conv2(h)
+        h = norm2(h, train=train)
         return act(h + x)
 
 
@@ -74,14 +113,34 @@ class Dropout2d(nn.Module):
         return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2))(x, deterministic=not train)
 
 
+class _TConv2x(nn.Module):
+    """k=2 s=2 VALID transposed conv with nn.ConvTranspose's exact parameter
+    tree and math (kernel (2, 2, Ci, Co), spatial taps flipped), plus a
+    ``mode="params"`` path so fused serving kernels can read the params."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: Optional[str] = None):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if mode == "params":
+            return kernel, bias
+        return jax.lax.conv_transpose(
+            x, kernel.astype(x.dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(x.dtype)
+
+
 class ConvTranspose2x(nn.Module):
     """2x upsampling transposed conv (torch ConvTranspose2d(k=2, s=2))."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.ConvTranspose(self.features, (2, 2), strides=(2, 2), padding="VALID", name="deconv")(x)
+    def __call__(self, x: jnp.ndarray, mode: Optional[str] = None):
+        return _TConv2x(self.features, name="deconv")(x, mode=mode)
 
 
 def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:

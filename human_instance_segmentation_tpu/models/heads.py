@@ -27,8 +27,41 @@ from ..ops.activations import get_activation
 from ..ops.attention import ChannelAttention, SpatialAttention
 from ..ops.norms import get_normalization
 from ..ops.sampling import resize_bilinear
-from ..ops.quant import QConv
+from ..ops.quant import QConv, quant_enabled
+from ..ops import pallas_head
+from ..ops.s2d import (conv1x1_kernel_s2d, deconv2x_kernel_s2d,
+                       depth_to_space, tile_channel_params)
 from .blocks import ConvNormAct, ConvTranspose2x, Dropout2d, ResidualBlock, max_pool_2x, pixel_shuffle
+
+
+def _fused_upsample(x, deconv_mod, norm_mod, features: int):
+    """deconv2x -> LayerNorm2d -> relu computed on x's OWN grid in S2D(2)
+    form with one fused Pallas kernel (ops/pallas_head.py): the k=2 s=2
+    transposed conv is exactly a 1x1 conv to 4 phase-channel blocks
+    (ops/s2d.py:deconv2x_kernel_s2d), LayerNorm2d's statistics are
+    layout-invariant (they reduce over ALL of H, W, C), and the per-channel
+    affine tiles across phases. Returns the S2D-form activations
+    (B, H, W, 4*features); callers either project per-pixel in S2D form or
+    depth_to_space back. Eliminates the mask-resolution LN memory passes —
+    the head's dominant serving cost (scripts/profile_stage2.py)."""
+    kd, bd = deconv_mod(x, mode="params")
+    g, be = norm_mod(jnp.zeros((1, 1, 1, features), x.dtype), mode="params")
+    return pallas_head.conv_ln_act(
+        x, deconv2x_kernel_s2d(kd).astype(x.dtype),
+        tile_channel_params(bd), tile_channel_params(g),
+        tile_channel_params(be),
+        height=x.shape[1], width=x.shape[2], kernel=1)
+
+
+def _fuse_mask_branch(module, x, train: bool, mh: int, mw: int) -> bool:
+    """Gate for the S2D upsample fusion: serving only, LayerNorm2d+relu
+    semantics, and the deconv's 2x output must be exactly the mask size
+    (the flagship contract: mask = 2 x ROI)."""
+    if train or not pallas_head.fusion_enabled() or quant_enabled():
+        return False
+    if module.norm != "layernorm2d" or module.activation != "relu":
+        return False
+    return (x.shape[1] * 2, x.shape[2] * 2) == (mh, mw)
 
 
 class EnhancedUNet(nn.Module):
@@ -165,10 +198,21 @@ class HierarchicalHeadV2(nn.Module):
             base_channels=self.base_channels, depth=self.depth, name="bg_vs_fg_unet", **kw
         )(shared, train=train)
 
-        up = ConvTranspose2x(32, name="upsample_deconv")(bg_fg_low)
-        up = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="upsample_norm")(up, train=train)
-        up = act(up)
-        bg_fg_logits = QConv(2, (1, 1), name="upsample_out")(up)
+        up_deconv = ConvTranspose2x(32, name="upsample_deconv")
+        up_norm = get_normalization(self.norm, 32, min(self.norm_groups, 32), name="upsample_norm")
+        up_out = QConv(2, (1, 1), name="upsample_out")
+        if _fuse_mask_branch(self, bg_fg_low, train, mh, mw):
+            z = _fused_upsample(bg_fg_low, up_deconv, up_norm, 32)
+            wo, bo = up_out(jnp.zeros((1, 1, 1, 32), z.dtype), mode="params")
+            z = jax.lax.conv_general_dilated(
+                z, conv1x1_kernel_s2d(wo).astype(z.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            bg_fg_logits = depth_to_space(z + tile_channel_params(bo).astype(z.dtype))
+        else:
+            up = up_deconv(bg_fg_low)
+            up = up_norm(up, train=train)
+            up = act(up)
+            bg_fg_logits = up_out(up)
         if bg_fg_logits.shape[1:3] != (mh, mw):
             bg_fg_logits = resize_bilinear(bg_fg_logits, mh, mw)
         bg_fg_probs = jax.nn.softmax(bg_fg_logits, axis=-1)
@@ -185,9 +229,14 @@ class HierarchicalHeadV2(nn.Module):
         if self.use_attention_module:
             t = SpatialAttention(kernel_size=7, name="tnt_satt")(t)
         t = Dropout2d(self.dropout_rate, name="tnt_drop0")(t, train=train)
-        t = ConvTranspose2x(mc // 2, name="tnt_deconv")(t)
-        t = get_normalization(self.norm, mc // 2, min(self.norm_groups, mc // 2), name="tnt_norm")(t, train=train)
-        t = act(t)
+        tnt_deconv = ConvTranspose2x(mc // 2, name="tnt_deconv")
+        tnt_norm = get_normalization(self.norm, mc // 2, min(self.norm_groups, mc // 2), name="tnt_norm")
+        if _fuse_mask_branch(self, t, train, mh, mw):
+            t = depth_to_space(_fused_upsample(t, tnt_deconv, tnt_norm, mc // 2))
+        else:
+            t = tnt_deconv(t)
+            t = tnt_norm(t, train=train)
+            t = act(t)
         if self.use_attention_module:
             t = ChannelAttention(reduction_ratio=8, activation=self.activation,
                                  activation_beta=self.activation_beta, name="tnt_catt")(t)

@@ -125,6 +125,10 @@ class PeopleSegmentationUNet(nn.Module):
     # high-res low-channel tail is the flagship's dominant cost at 2-5% MFU;
     # S2D-shaped convs reach ~80% (scripts/profile_stage1.py).
     fused_tail: int = 0
+    # Serving: run the first N encoder MBConv blocks through the fused
+    # Pallas kernel (ops/pallas_mbconv.py) — the high-res blocks are
+    # HBM-bound and XLA moves the 6x-expanded tensor through HBM ~4 times.
+    encoder_fused_blocks: int = 0
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -133,7 +137,8 @@ class PeopleSegmentationUNet(nn.Module):
         x = (images - mean) / std
 
         feats = EfficientNetEncoder(
-            variant=self.encoder_variant, drop_path_rate=self.drop_path_rate, name="encoder"
+            variant=self.encoder_variant, drop_path_rate=self.drop_path_rate,
+            fused_blocks=0 if train else self.encoder_fused_blocks, name="encoder"
         )(x, train=train)
         # feats: (s2, s4, s8, s16, s32)
         skips = list(feats[:-1])[::-1]  # s16, s8, s4, s2

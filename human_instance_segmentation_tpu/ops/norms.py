@@ -28,9 +28,14 @@ class LayerNorm2d(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 mode: str | None = None) -> jnp.ndarray:
         del train
         c = x.shape[-1]
+        if mode == "params":
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return scale, bias
         # statistics in f32 for bf16 activations (TPU mixed-precision rule:
         # accumulate in f32, store in bf16)
         xf = x.astype(jnp.float32)

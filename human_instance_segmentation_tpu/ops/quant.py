@@ -165,7 +165,7 @@ class QConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str | None = None) -> jnp.ndarray:
         ks = self.kernel_size
         if isinstance(ks, int):
             ks = (ks, ks)
@@ -180,6 +180,10 @@ class QConv(nn.Module):
             (*ks, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if mode == "params":
+            # fused-kernel callers (ops/pallas_head.py) read the params
+            # without computing; declaration order/names stay identical
+            return kernel, bias
         kernel = kernel.astype(x.dtype)
         eligible = ks[0] * ks[1] * x.shape[-1] >= 48
         if calibrating() and eligible:

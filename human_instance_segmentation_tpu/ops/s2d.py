@@ -335,3 +335,25 @@ def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def tile_channel_params(v: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """Per-channel affine/stat vector (C,) -> (r*r*C,) matching S2D order."""
     return jnp.tile(v, r * r)
+
+
+def deconv2x_kernel_s2d(k: jnp.ndarray) -> jnp.ndarray:
+    """flax ConvTranspose(k=2, s=2, VALID) kernel (2, 2, Ci, Co) -> a 1x1
+    conv kernel (1, 1, Ci, 4*Co) whose output IS the deconv result in
+    S2D(2) form: y[2i+a, 2j+b] = x[i, j] @ k[1-a, 1-b] (flax flips the
+    spatial taps of a transposed conv), so phase (a, b) gets block
+    k[1-a, 1-b]."""
+    ci, co = k.shape[2], k.shape[3]
+    kf = k[::-1, ::-1]                      # (a, b) -> k[1-a, 1-b]
+    return kf.transpose(2, 0, 1, 3).reshape(1, 1, ci, 4 * co)
+
+
+def conv1x1_kernel_s2d(w: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Per-pixel 1x1 conv kernel (1, 1, Ci, Co) -> the phase-block-diagonal
+    (1, 1, r*r*Ci, r*r*Co) kernel applying it in S2D(r) form."""
+    ci, co = w.shape[2], w.shape[3]
+    p = r * r
+    out = jnp.zeros((1, 1, p * ci, p * co), w.dtype)
+    for i in range(p):
+        out = out.at[:, :, i * ci:(i + 1) * ci, i * co:(i + 1) * co].set(w)
+    return out
