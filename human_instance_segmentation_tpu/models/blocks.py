@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import get_activation
-from ..ops.quant import QConv, quant_enabled
+from ..ops.quant import QConv, quant_enabled, static_scales
 from ..ops.norms import get_normalization
 from ..ops import pallas_head
 
@@ -24,12 +24,31 @@ from ..ops import pallas_head
 def _fusable(module, x, train: bool) -> bool:
     """True when this conv->LayerNorm2d->relu unit should trace the fused
     Pallas kernel (ops/pallas_head.py) instead of the unfused op chain."""
-    if train or not pallas_head.fusion_enabled() or quant_enabled():
+    if train or not pallas_head.fusion_enabled():
         return False
     if module.norm != "layernorm2d" or module.activation != "relu":
         return False
     n, h, w, ci = x.shape
     return pallas_head.fusable_shape(h, w, ci, module.features)
+
+
+_NO_FUSE = object()
+
+
+def _fused_xscale_for(parent, conv_name: str, x, k: int):
+    """Activation scale for the fused kernel's int8 path.
+
+    Returns None outside int8 serving (-> fused kernel runs bf16), a
+    calibrated float scale when available, or the _NO_FUSE sentinel when
+    int8 serving is on but this conv has no calibrated scale — then the
+    unfused QConv (dynamic-scale) path keeps its current behavior."""
+    if not quant_enabled():
+        return None
+    scales = static_scales()
+    if scales is None or k * k * x.shape[-1] < 48:
+        return _NO_FUSE
+    xs = scales.get("/".join(parent.path + (conv_name,)))
+    return _NO_FUSE if xs is None else xs
 
 
 class ConvNormAct(nn.Module):
@@ -55,11 +74,13 @@ class ConvNormAct(nn.Module):
                                  min(self.norm_groups, self.features), name="norm")
         if (self.stride == 1 and k in (1, 3) and self.use_bias
                 and _fusable(self, x, train)):
-            w, b = conv(x, mode="params")
-            g, beta = norm(jnp.zeros((1, 1, 1, self.features), x.dtype), mode="params")
-            return pallas_head.conv_ln_act(
-                x, w.astype(x.dtype), b, g, beta,
-                height=x.shape[1], width=x.shape[2], kernel=k)
+            xs = _fused_xscale_for(self, "conv", x, k)
+            if xs is not _NO_FUSE:
+                w, b = conv(x, mode="params")
+                g, beta = norm(jnp.zeros((1, 1, 1, self.features), x.dtype), mode="params")
+                return pallas_head.conv_ln_act(
+                    x, w.astype(x.dtype), b, g, beta,
+                    height=x.shape[1], width=x.shape[2], kernel=k, xscale=xs)
         x = conv(x)
         x = norm(x, train=train)
         return get_activation(self.activation, self.activation_beta)(x)
@@ -83,17 +104,21 @@ class ResidualBlock(nn.Module):
         conv2 = QConv(self.features, (3, 3), padding=1, name="conv2")
         norm2 = get_normalization(self.norm, self.features, g, name="norm2")
         if x.shape[-1] == self.features and _fusable(self, x, train):
-            zc = jnp.zeros((1, 1, 1, self.features), x.dtype)
-            w1, b1 = conv1(x, mode="params")
-            g1, be1 = norm1(zc, mode="params")
-            w2, b2 = conv2(x, mode="params")
-            g2, be2 = norm2(zc, mode="params")
-            hh, ww = x.shape[1], x.shape[2]
-            h = pallas_head.conv_ln_act(
-                x, w1.astype(x.dtype), b1, g1, be1, height=hh, width=ww)
-            return pallas_head.conv_ln_act(
-                h, w2.astype(x.dtype), b2, g2, be2, residual=x,
-                height=hh, width=ww)
+            xs1 = _fused_xscale_for(self, "conv1", x, 3)
+            xs2 = _fused_xscale_for(self, "conv2", x, 3)
+            if xs1 is not _NO_FUSE and xs2 is not _NO_FUSE:
+                zc = jnp.zeros((1, 1, 1, self.features), x.dtype)
+                w1, b1 = conv1(x, mode="params")
+                g1, be1 = norm1(zc, mode="params")
+                w2, b2 = conv2(x, mode="params")
+                g2, be2 = norm2(zc, mode="params")
+                hh, ww = x.shape[1], x.shape[2]
+                h = pallas_head.conv_ln_act(
+                    x, w1.astype(x.dtype), b1, g1, be1, height=hh, width=ww,
+                    xscale=xs1)
+                return pallas_head.conv_ln_act(
+                    h, w2.astype(x.dtype), b2, g2, be2, residual=x,
+                    height=hh, width=ww, xscale=xs2)
         h = conv1(x)
         h = norm1(h, train=train)
         h = act(h)

@@ -26,6 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import QConv
+
 # (expand_ratio, kernel, stride, out_channels, num_repeat) for B0
 _B0_STAGES = (
     (1, 3, 1, 16, 1),
@@ -144,7 +146,7 @@ class MBConv(nn.Module):
             return self._fused(x, in_ch, mid)
         h = x
         if self.expand_ratio != 1:
-            h = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(h)
+            h = QConv(mid, (1, 1), use_bias=False, name="expand_conv")(h)
             h = _bn("bn0", train)(h)
             h = jax.nn.silu(h)
         h = nn.Conv(
@@ -155,7 +157,7 @@ class MBConv(nn.Module):
         h = jax.nn.silu(h)
         if self.se_ratio > 0:
             h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(h)
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="project_conv")(h)
+        h = QConv(self.out_channels, (1, 1), use_bias=False, name="project_conv")(h)
         h = _bn("bn2", train)(h)
         if self.stride == 1 and in_ch == self.out_channels:
             if train and self.drop_path > 0.0:

@@ -54,10 +54,12 @@ def _fused_upsample(x, deconv_mod, norm_mod, features: int):
 
 
 def _fuse_mask_branch(module, x, train: bool, mh: int, mw: int) -> bool:
-    """Gate for the S2D upsample fusion: serving only, LayerNorm2d+relu
+    """Gate for the S2D upsample fusion: serving only, explicit opt-in
+    (head_fusion(s2d_upsample=True) — the bf16 k=1 kernel measures 0.5x
+    XLA's deconv+LN chain, see ops/pallas_head.py), LayerNorm2d+relu
     semantics, and the deconv's 2x output must be exactly the mask size
     (the flagship contract: mask = 2 x ROI)."""
-    if train or not pallas_head.fusion_enabled() or quant_enabled():
+    if train or not pallas_head.s2d_upsample_enabled() or quant_enabled():
         return False
     if module.norm != "layernorm2d" or module.activation != "relu":
         return False

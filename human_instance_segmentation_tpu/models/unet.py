@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import QConv
 from ..ops.s2d import (conv3x3_s2d, conv3x3_strided_s2d, conv_up_s2d,
                        depth_to_space, tile_channel_params)
 from ..ops.sampling import resize_bilinear
@@ -99,7 +100,7 @@ class DecoderBlock(nn.Module):
                 x = resize_bilinear(x, skip.shape[1], skip.shape[2])
             x = jnp.concatenate([x, skip], axis=-1)
         for i in range(2):
-            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name=f"conv{i}")(x)
+            x = QConv(self.features, (3, 3), padding=1, use_bias=False, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}")(x)
             x = jax.nn.relu(x)
         return x

@@ -64,6 +64,19 @@ def test_conv1(tiny):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_conv3_int8(tiny):
+    """xscale switches the matmuls to int8; result tracks the f32 oracle
+    within quantization noise."""
+    xs = float(np.abs(np.asarray(tiny["x"])).max() / 127.0)
+    out = conv_ln_act(tiny["x"], tiny["w"], tiny["b"], tiny["g"], tiny["beta"],
+                      height=4, width=3, xscale=xs)
+    ref = _ref(tiny["x"], tiny["w"], tiny["b"], tiny["g"], tiny["beta"])
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.15, err
+    # and it must NOT be bit-identical (proves the int8 path actually ran)
+    assert err > 1e-6
+
+
 def test_fusion_context_is_scoped():
     assert not pallas_head.fusion_enabled()
     with head_fusion():
@@ -85,7 +98,7 @@ def test_head_v2_mask_branch_fusion(rng):
     x = jnp.asarray(rng.standard_normal((2, 4, 3, 24)), jnp.float32)
     params = head.init(jax.random.PRNGKey(0), x, train=False)
     base, aux_b = head.apply(params, x, train=False)
-    with head_fusion():
+    with head_fusion(s2d_upsample=True):
         fused, aux_f = head.apply(params, x, train=False)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-5)
     for k in aux_b:
