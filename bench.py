@@ -36,7 +36,7 @@ def main():
     @jax.jit
     def infer(params, images, rois):
         logits, aux = model.apply(params, images, rois, train=False)
-        return deployed_outputs(logits, aux["full_image_logits"], rois, dilation_pixels=1)
+        return deployed_outputs(logits, aux, rois, dilation_pixels=1)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, ih, iw, 3), np.float32), jnp.bfloat16)

@@ -140,7 +140,7 @@ def export_model(
 
         def fn(variables, images, rois):
             logits, aux = model.apply(variables, images, rois, train=False)
-            return deployed_outputs(logits, aux["full_image_logits"], rois, dilation_pixels)
+            return deployed_outputs(logits, aux, rois, dilation_pixels)
 
         for bucket in roi_buckets:
             images = jax.ShapeDtypeStruct((batch_size, image_size[0], image_size[1], 3), jnp.float32)

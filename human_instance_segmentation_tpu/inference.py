@@ -56,7 +56,7 @@ def pad_rois(rois: np.ndarray, bucket: int) -> np.ndarray:
 
 def deployed_outputs(
     logits: jnp.ndarray,
-    full_image_logits: jnp.ndarray,
+    full_image_logits,
     rois: jnp.ndarray,
     dilation_pixels: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,6 +65,11 @@ def deployed_outputs(
     Mirrors export_onnx_advanced.py:360-364 (argmax==1 binarise) and
     :386-387 (stage-1 softmax channel 0 = person probability), plus the
     optional dilation logit boost.
+
+    ``full_image_logits`` may be the (B, H, W, 2) stage-1 logit map or the
+    model's whole aux dict; with the aux dict, the nested-S2D(4) person
+    probability (``person_prob_n4``, fused-tail serving) is preferred — the
+    lane-padded full-res 2ch map is then dead code XLA eliminates.
     """
     if dilation_pixels > 0:
         logits = mask_dilation_logit_boost(logits, dilation_pixels)
@@ -72,6 +77,13 @@ def deployed_outputs(
     instance = (cls == 1).astype(logits.dtype)[..., None]
     valid = (rois[:, 0] >= 0).astype(logits.dtype)[:, None, None, None]
     instance = instance * valid
+    if isinstance(full_image_logits, dict):
+        aux = full_image_logits
+        if "person_prob_n4" in aux:
+            from .ops.s2d import n4_to_plain
+            binary = n4_to_plain(aux["person_prob_n4"], 1)
+            return instance, binary
+        full_image_logits = aux["full_image_logits"]
     binary = jax.nn.softmax(full_image_logits, axis=-1)[..., 0:1]
     return instance, binary
 
@@ -147,7 +159,7 @@ class InferenceEngine:
                 # the contexts are consulted at trace time
                 with int8_serving(use_int8, scales), head_fusion(use_fusion):
                     logits, aux = self.model.apply(params, images, rois, train=False)
-                inst, binary = deployed_outputs(logits, aux["full_image_logits"], rois, dil)
+                inst, binary = deployed_outputs(logits, aux, rois, dil)
                 return inst, binary, logits
 
             self._compiled[key] = run

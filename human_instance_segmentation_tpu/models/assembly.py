@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..ops.activations import get_activation
 from ..ops.quant import QConv
-from ..ops.sampling import resize_bilinear, roi_align
+from ..ops.s2d import n4_to_plain
+from ..ops.sampling import resize_bilinear, roi_align, roi_align_n4
 from .blocks import ConvNormAct, ResidualBlock
 from .heads import HierarchicalHeadV2, PretrainedUNetGuidedHead, RefinedHierarchicalHead
 from .unet import PeopleSegUNetWrapper, PeopleSegmentationUNet
@@ -174,10 +175,35 @@ class HierarchicalInstanceSegmenter(nn.Module):
         assert images.shape[1] == ih and images.shape[2] == iw, (
             f"model compiled for {self.image_size}, got {images.shape[1:3]}")
 
-        full_image_logits = self.stage1(images, train=train)
-
         scale = (float(ih), float(iw))
-        roi_bg_fg = roi_align(full_image_logits, rois, rh, rw, spatial_scale=scale, aligned=True)
+        form, x1 = self.pretrained_unet(
+            images, train=False if self.freeze_pretrained else train, raw=True)
+        if self.freeze_pretrained:
+            x1 = jax.lax.stop_gradient(x1)
+
+        aux_extra: Dict[str, jnp.ndarray] = {}
+        if form == "n4":
+            # Nested-S2D(4) serving path: the stage-1 logit map stays in its
+            # (B, H/4, W/4, 16) phase form end to end. RoIAlign is linear, so
+            # the 1ch crop + the wrapper's 1x1 conv commute with sampling —
+            # the full-res 1-2 channel tensors (8-32x lane-padded on TPU) are
+            # never materialised unless a consumer asks for
+            # aux["full_image_logits"] (then XLA materialises it for that
+            # consumer only; in the deployed graph it is dead code).
+            b, hg, wg, _ = x1.shape
+            x2_n4 = self.unet_wrapper(x1.reshape(b, hg, wg * 16, 1)).reshape(b, hg, wg, 16, 2)
+            roi1 = roi_align_n4(x1, rois, rh, rw, spatial_scale=scale, aligned=True)
+            roi_bg_fg = self.unet_wrapper(roi1)
+            if self.freeze_pretrained:
+                x2_n4 = jax.lax.stop_gradient(x2_n4)
+                roi_bg_fg = jax.lax.stop_gradient(roi_bg_fg)
+            full_image_logits = n4_to_plain(x2_n4.reshape(b, hg, wg, 32), 2)
+            aux_extra["person_prob_n4"] = jax.nn.softmax(x2_n4, axis=-1)[..., 0]
+        else:
+            full_image_logits = self.unet_wrapper(x1)
+            if self.freeze_pretrained:
+                full_image_logits = jax.lax.stop_gradient(full_image_logits)
+            roi_bg_fg = roi_align(full_image_logits, rois, rh, rw, spatial_scale=scale, aligned=True)
         roi_rgb = roi_align(images, rois, rh, rw, spatial_scale=scale, aligned=True)
 
         rgb_features = self.rgb_extractor(roi_rgb, train=train)
@@ -190,6 +216,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
             logits, aux = self.head(rgb_features, roi_bg_fg, train=train)
 
         aux["full_image_logits"] = full_image_logits
+        aux.update(aux_extra)
         aux["roi_bg_fg"] = roi_bg_fg
         aux["roi_patches"] = roi_rgb
         return logits, aux

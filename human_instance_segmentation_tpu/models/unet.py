@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.quant import QConv
-from ..ops.s2d import (conv3x3_s2d, conv3x3_strided_s2d, conv_up_s2d,
-                       depth_to_space, tile_channel_params)
+from ..ops.s2d import (conv3x3_s2d, conv3x3_s2d_to_n4, conv3x3_strided_s2d,
+                       conv_up_s2d, conv_up_s2d_nested, depth_to_space,
+                       n4_regroup_to_s2d, n4_to_plain, tile_channel_params)
 from ..ops.sampling import resize_bilinear
 from .efficientnet import EfficientNetEncoder
 
@@ -71,10 +72,30 @@ class DecoderBlock(nn.Module):
 
     features: int
     fused: bool = False
+    # input arrives in S2D(2) form from the previous fused stage (serving
+    # only, skip-free blocks): the composed up+conv consumes it directly —
+    # no depth_to_space materialisation of the small-C full-res tensor.
+    input_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None, train: bool = False) -> jnp.ndarray:
         b, h, w, cx = x.shape
+        if self.input_s2d:
+            assert self.fused and not train and skip is None
+            cin = cx // 4
+            k0, _ = _Conv3Params(self.features, name="conv0")(cin)
+            s0, b0, m0, v0 = _BNParams(name="bn0")(self.features)
+            k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
+            s1, b1, m1, v1 = _BNParams(name="bn1")(self.features)
+            y4 = conv_up_s2d_nested(x, k0)                 # N4 on x's grid
+            t = lambda v: jnp.tile(v.astype(y4.dtype), 16)
+            y4 = jax.nn.relu((y4 - t(m0)) * jax.lax.rsqrt(t(v0) + 1e-5) * t(s0) + t(b0))
+            y = n4_regroup_to_s2d(y4)                      # S2D(2) on 2x grid
+            # keep the assembly/correction/bn/regroup pass out of the
+            # consumer conv's operand fusion (measured 2x pathology, v3)
+            y = jax.lax.optimization_barrier(y)
+            y = conv3x3_s2d(y, k1)
+            return _bn_relu_s2d(y, s1, b1, m1, v1)
         can_fuse = (self.fused and not train
                     and (skip is None or skip.shape[1:3] == (2 * h, 2 * w)))
         if can_fuse:
@@ -130,9 +151,19 @@ class PeopleSegmentationUNet(nn.Module):
     # Pallas kernel (ops/pallas_mbconv.py) — the high-res blocks are
     # HBM-bound and XLA moves the 6x-expanded tensor through HBM ~4 times.
     encoder_fused_blocks: int = 0
+    # Experimental: chain consecutive fused skip-free decoder stages in S2D
+    # form (ops/s2d.py::conv_up_s2d_nested). Exact but measured slower than
+    # the plain chain under XLA; see the note at the call site.
+    nested_tail: bool = False
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, train: bool = False, raw: bool = False):
+        """With ``raw=True`` returns ``(form, tensor)`` where form is
+        ``"n4"`` (fused tail active: tensor is the nested-S2D(4) logits,
+        (B, H/4, W/4, 16*classes) — see ops/s2d.py) or ``"plain"``
+        ((B, H, W, classes)). The N4 form avoids ever materialising the
+        full-resolution small-channel logit map, whose 128-lane padding
+        costs 8-32x its logical bytes in HBM."""
         mean = jnp.asarray(self.normalize_mean, images.dtype)
         std = jnp.asarray(self.normalize_std, images.dtype)
         x = (images - mean) / std
@@ -149,22 +180,40 @@ class PeopleSegmentationUNet(nn.Module):
         h_is_s2d = False
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
+            hh, hw = h.shape[1], h.shape[2]
+            if h_is_s2d:
+                hh, hw = 2 * hh, 2 * hw  # full-res extent of the s2d form
             use_fused = (
                 i >= n - fused
-                and (skip is None or skip.shape[1:3] == (2 * h.shape[1], 2 * h.shape[2]))
+                and (skip is None or skip.shape[1:3] == (2 * hh, 2 * hw))
             )
-            h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused)(
-                h, skip, train=train)
+            # consecutive fused skip-free stages CAN chain in S2D form via
+            # conv_up_s2d_nested (exact; tests/test_s2d.py) — measured SLOWER
+            # in-context on v5e: the composed conv reaches 95% MFU but XLA
+            # splits the assembly/correction/regroup epilogue into ~5 full
+            # tensor passes over layout-padded 5-D intermediates (traces r2).
+            # Kept off; the Pallas fused tail owns this instead.
+            input_s2d = self.nested_tail and h_is_s2d and use_fused and skip is None
+            if h_is_s2d and not input_s2d:
+                h = depth_to_space(h, 2)
+            h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused,
+                             input_s2d=input_s2d)(h, skip, train=train)
             h_is_s2d = use_fused
-            if h_is_s2d and i < n - 1:
-                h = depth_to_space(h, 2)  # next stage consumes the plain form
-                h_is_s2d = False
         if h_is_s2d:
             ch_last = h.shape[-1] // 4
             k, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch_last)
+            if h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
+                # one strided conv -> nested S2D(4) logits; the C=classes
+                # full-res tensor (32x lane-padded on TPU) never exists
+                y4 = conv3x3_s2d_to_n4(h, k) + tile_channel_params(bsh.astype(h.dtype), 4)
+                if raw:
+                    return "n4", y4
+                return n4_to_plain(y4, self.classes)
             y = conv3x3_s2d(h, k) + tile_channel_params(bsh.astype(h.dtype))
-            return depth_to_space(y, 2)
-        return nn.Conv(self.classes, (3, 3), padding=1, name="seg_head")(h)
+            y = depth_to_space(y, 2)
+            return ("plain", y) if raw else y
+        y = nn.Conv(self.classes, (3, 3), padding=1, name="seg_head")(h)
+        return ("plain", y) if raw else y
 
 
 class PeopleSegUNetWrapper(nn.Module):

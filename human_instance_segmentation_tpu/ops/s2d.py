@@ -66,7 +66,8 @@ def _conv(x, k, padding):
     # quantize/abs-max passes over full-res tensors cost more than the MXU
     # saves. Int8 serving therefore covers only the stage-2 QConv stack.
     return lax.conv_general_dilated(
-        x, k, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, k.astype(x.dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def expand_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
@@ -282,7 +283,7 @@ def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     corr_left = _conv(x[:, :, :2], k_left, ((1, 1), (0, 0)))  # (B, Hc, 1, 4Co)
     corr_right = _conv(x[:, :, -2:], k_right, ((1, 1), (0, 0)))
 
-    cs = [jnp.einsum("bijc,ijco->bo", sl, ck) for sl, ck in zip(
+    cs = [jnp.einsum("bijc,ijco->bo", sl, ck.astype(x.dtype)) for sl, ck in zip(
         (x[:, :2, :2], x[:, :2, -2:], x[:, -2:, :2], x[:, -2:, -2:]), corners)]
 
     row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
@@ -310,6 +311,134 @@ def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier(y)
 
 
+def conv_up_s2d_nested(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """:func:`conv_up_s2d` with the INPUT already in S2D(2) form, output in
+    nested-S2D(4) ("N4") form on the input's own cell grid.
+
+    x_s2d: (B, Hc, Wc, 4*Ci) — S2D(2) of a (2Hc, 2Wc, Ci) map;
+    w: (3, 3, Ci, Co) -> (B, Hc, Wc, 16*Co), the N4 form (bit-nested phase
+    order (u, v, ay, ax)) of conv3x3(upsample_2x_bilinear(plain), w) at
+    (4Hc, 4Wc, Co).
+
+    Why: the plain-input path forces a depth_to_space materialisation of the
+    (2Hc, 2Wc, Ci) map whose small C is 128-lane padded (at decoder-4
+    flagship shapes: a 1.27 ms copy + a 16%-MFU conv+select fusion,
+    profiled r2). Here the composed up+conv kernel consumes the S2D(2) form
+    directly: one dense (2, 2, 4Ci, 16Co) conv (contraction 16*Ci — MXU
+    shaped) over the cell grid, four shifted slices re-assembled by output
+    phase, and the border corrections of :func:`_border_correction_kernels`
+    re-indexed into the N4 layout. Exact vs the plain path.
+    """
+    b, hc, wc, c4 = x_s2d.shape
+    ci = c4 // 4
+    co = w.shape[3]
+    co4 = 4 * co
+    K = compose_up_conv_kernel(w)  # (3, 3, Ci, 4Co) over the 240-grid
+
+    if hc < 3 or wc < 3:
+        # small inputs: border regions overlap; use the plain path
+        y240 = conv_up_s2d(depth_to_space(x_s2d, 2), w)
+        return space_to_depth_blocks(y240)
+
+    # pad-slice composed conv: output 240-cell q = 2I + g reads input cells
+    # {I-1, I} (g=0) / {I, I+1} (g=1); one VALID 2x2 conv over the padded
+    # cell grid covers both alignments, the per-phase slice picks the right
+    # one. Kernel tap (t, alpha, g) maps to composed tap d = 2(t-1)+alpha+g.
+    # selection tensor: T[t, al, gy, dy] = 1 iff composed tap dy = 2(t-1)+al+gy
+    T = np.zeros((2, 2, 2, 3), np.float32)
+    for t in range(2):
+        for al in range(2):
+            for g in range(2):
+                d = 2 * (t - 1) + al + g
+                if -1 <= d <= 1:
+                    T[t, al, g, d + 1] = 1.0
+    Tj = jnp.asarray(T)
+    # K22[t, s, (al, be, ci), (gy, gx, 4co)]
+    K22 = jnp.einsum("tagd,sbhe,deio->tsabigho", Tj, Tj, K)
+    K22 = K22.reshape(2, 2, c4, 16 * co)
+    xpad = jnp.pad(x_s2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    O = lax.conv_general_dilated(
+        xpad, K22.astype(x_s2d.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (B, Hc+1, Wc+1, 16Co)
+
+    # assemble as (B, Hc, Wc, gy, gx, 4Co); everything below is additive
+    # elementwise work over this block-expanded view (no overwrites, no
+    # barriers) so XLA can fuse assembly + corrections (+ the caller's
+    # bn/relu + regroup transpose) into ONE pass over the output
+    S = jnp.stack([
+        O[:, gy:hc + gy, gx:wc + gx, (gy * 2 + gx) * co4:(gy * 2 + gx + 1) * co4]
+        for gy in range(2) for gx in range(2)], axis=3)
+    S = S.reshape(b, hc, wc, 2, 2, co4)
+
+    # border corrections, re-indexed from the 240-grid machinery
+    k_top, k_bot, k_left, k_right, corners = _border_correction_kernels(w)
+    d2s_rows = lambda strip: strip.reshape(b, 1, wc, 2, 2, ci).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, 2, 2 * wc, ci)           # x cell row -> 2 plain 240-rows
+    d2s_cols = lambda strip: strip.reshape(b, hc, 1, 2, 2, ci).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, 2 * hc, 2, ci)
+
+    # (B, 1, Wc, gx, 4Co) / (B, Hc, gy, 1, 4Co) correction slabs
+    ct = _conv(d2s_rows(x_s2d[:, :1]), k_top, ((0, 0), (1, 1))).reshape(b, 1, wc, 2, co4)
+    cb = _conv(d2s_rows(x_s2d[:, -1:]), k_bot, ((0, 0), (1, 1))).reshape(b, 1, wc, 2, co4)
+    cl = _conv(d2s_cols(x_s2d[:, :, :1]), k_left, ((1, 1), (0, 0))).reshape(b, hc, 2, 1, co4)
+    cr = _conv(d2s_cols(x_s2d[:, :, -1:]), k_right, ((1, 1), (0, 0))).reshape(b, hc, 2, 1, co4)
+
+    def pad6(v, ipad, jpad, gypad, gxpad):
+        return jnp.pad(v, ((0, 0), ipad, jpad, gypad, gxpad, (0, 0)))
+
+    # cl/cr are (B, I, gy, J=1, Co4) -> reorder to (B, I, J, gy, gx, Co4)
+    cl_r = cl.transpose(0, 1, 3, 2, 4)[:, :, :, :, None, :]
+    cr_r = cr.transpose(0, 1, 3, 2, 4)[:, :, :, :, None, :]
+    corr = pad6(ct[:, :, :, None, :, :], (0, hc - 1), (0, 0), (0, 1), (0, 0)) \
+        + pad6(cb[:, :, :, None, :, :], (hc - 1, 0), (0, 0), (1, 0), (0, 0)) \
+        + pad6(cl_r, (0, 0), (0, wc - 1), (0, 0), (0, 1)) \
+        + pad6(cr_r, (0, 0), (wc - 1, 0), (0, 0), (1, 0))
+
+    # exact corner 240-cells, made ADDITIVE: exact - base - row - col
+    def corner_val(cell, ck):
+        # one x cell == the plain 2x2 pixel corner the corner kernels contract
+        return jnp.einsum("bijc,ijco->bo", cell.reshape(b, 2, 2, ci),
+                          ck.astype(x_s2d.dtype))
+
+    add_tl = corner_val(x_s2d[:, 0, 0], corners[0]) \
+        - O[:, 0, 0, 0 * co4:1 * co4] - ct[:, 0, 0, 0] - cl[:, 0, 0, 0]
+    add_tr = corner_val(x_s2d[:, 0, -1], corners[1]) \
+        - O[:, 0, wc, 1 * co4:2 * co4] - ct[:, 0, -1, 1] - cr[:, 0, 0, 0]
+    add_bl = corner_val(x_s2d[:, -1, 0], corners[2]) \
+        - O[:, hc, 0, 2 * co4:3 * co4] - cb[:, 0, 0, 0] - cl[:, -1, 1, 0]
+    add_br = corner_val(x_s2d[:, -1, -1], corners[3]) \
+        - O[:, hc, wc, 3 * co4:4 * co4] - cb[:, 0, -1, 1] - cr[:, -1, 1, 0]
+
+    five = lambda v: v[:, None, None, None, None, :]
+    corr = corr \
+        + pad6(five(add_tl), (0, hc - 1), (0, wc - 1), (0, 1), (0, 1)) \
+        + pad6(five(add_tr), (0, hc - 1), (wc - 1, 0), (0, 1), (1, 0)) \
+        + pad6(five(add_bl), (hc - 1, 0), (0, wc - 1), (1, 0), (0, 1)) \
+        + pad6(five(add_br), (hc - 1, 0), (wc - 1, 0), (1, 0), (1, 0))
+
+    return (S + corr).reshape(b, hc, wc, 16 * co)
+
+
+def space_to_depth_blocks(y_s2d: jnp.ndarray) -> jnp.ndarray:
+    """S2D(2) (B, 2Hc, 2Wc, 4Co) -> N4 (B, Hc, Wc, 16Co) (cell-grid S2D of
+    an already-S2D tensor; bit-nested phase order)."""
+    b, h2, w2, c4 = y_s2d.shape
+    hc, wc = h2 // 2, w2 // 2
+    y = y_s2d.reshape(b, hc, 2, wc, 2, c4)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hc, wc, 4 * c4)
+
+
+def n4_regroup_to_s2d(y_n4: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth_blocks`: N4 (B, Hc, Wc, 16Co) ->
+    S2D(2) (B, 2Hc, 2Wc, 4Co) on the doubled grid."""
+    b, hc, wc, c16 = y_n4.shape
+    c4 = c16 // 4
+    y = y_n4.reshape(b, hc, wc, 2, 2, c4)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * hc, 2 * wc, c4)
+
+
 def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Full-res stride-1 3x3 conv (zero pad) of a FULL-RES input, output in
     S2D(2) form — as one 4x4 stride-2 conv, so the input never goes through
@@ -328,8 +457,53 @@ def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                     W = W.at[ay + dy + 1, ax + dx + 1, :,
                              (ay * 2 + ax) * co:(ay * 2 + ax + 1) * co].set(w[dy + 1, dx + 1])
     return lax.conv_general_dilated(
-        x, W, (2, 2), ((1, 2), (1, 2)),
+        x, W.astype(x.dtype), (2, 2), ((1, 2), (1, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv3x3_s2d_to_n4(h_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Full-res stride-1 3x3 conv of an S2D(2) input, output in *nested* S2D(4)
+    ("N4") form on a grid coarsened by another 2x — one strided conv, so no
+    small-channel full-res tensor is ever materialised.
+
+    h_s2d: (B, Hc, Wc, 4*Ci) S2D(2) of a (2Hc, 2Wc, Ci) map; w: (3, 3, Ci, Co)
+    -> (B, Hc/2, Wc/2, 16*Co). Output channel order is bit-nested:
+    block index (u*2 + v) * 4 + (ay*2 + ax), full-res phase (A, B) =
+    (2u + ay, 2v + ax). Hc and Wc must be even.
+
+    Why: a full-res map with tiny C (the seg head's 1-4 channels) is
+    lane-padded to 128 on TPU — 8-32x wasted HBM bytes; the N4 form carries
+    16x the channels at 1/16 the positions (profiled: the seg head fusion
+    alone cost 1.9 ms/batch at flagship shapes in the C=4 layout).
+    """
+    b, hc, wc, c4 = h_s2d.shape
+    ci = c4 // 4
+    assert hc % 2 == 0 and wc % 2 == 0, (hc, wc)
+    k_cell = expand_kernel_s2d(w)  # (3, 3, 4Ci, 4Co) on the S2D(2) grid
+    co4 = k_cell.shape[3]
+    # strided-s2d expansion of the cell kernel (same construction as
+    # conv3x3_strided_s2d, with the S2D(2) grid playing the full-res role)
+    W = jnp.zeros((4, 4, c4, 4 * co4), k_cell.dtype)
+    for u in range(2):
+        for v in range(2):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    W = W.at[u + dy + 1, v + dx + 1, :,
+                             (u * 2 + v) * co4:(u * 2 + v + 1) * co4].set(k_cell[dy + 1, dx + 1])
+    return lax.conv_general_dilated(
+        h_s2d, W.astype(h_s2d.dtype), (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def n4_to_plain(y: jnp.ndarray, classes: int = 1) -> jnp.ndarray:
+    """(B, Hg, Wg, 16*C) N4 form (bit-nested phase order (u, v, ay, ax)) ->
+    plain (B, 4*Hg, 4*Wg, C)."""
+    b, hg, wg, c16 = y.shape
+    c = c16 // 16
+    assert c == classes and c16 == 16 * classes, (c16, classes)
+    y = y.reshape(b, hg, wg, 2, 2, 2, 2, c)          # [u, v, ay, ax, c]
+    y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7)          # b, hg, u, ay, wg, v, ax, c
+    return y.reshape(b, 4 * hg, 4 * wg, c)
 
 
 def tile_channel_params(v: jnp.ndarray, r: int = 2) -> jnp.ndarray:

@@ -146,6 +146,46 @@ def roi_align(
     return out.astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("output_height", "output_width", "spatial_scale", "aligned"))
+def roi_align_n4(
+    features_n4: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_height: int,
+    output_width: int,
+    spatial_scale: Scale = (640.0, 640.0),
+    aligned: bool = False,
+) -> jnp.ndarray:
+    """:func:`roi_align` over a map stored in nested-S2D(4) ("N4") form.
+
+    features_n4: (B, Hg, Wg, 16*C) with bit-nested phase order (u, v, ay, ax)
+    — see ops/s2d.py::conv3x3_s2d_to_n4 — representing a (4Hg, 4Wg, C) map.
+    Exact: the full-res interpolation matrices are reshaped by phase
+    (row index y = 4*Y + 2*u + ay), so the contraction is identical to
+    sampling the plain map; the plain form is never materialised.
+    """
+    ssh, ssw = _as_hw(spatial_scale)
+    B, Hg, Wg, c16 = features_n4.shape
+    C = c16 // 16
+    H, W = 4 * Hg, 4 * Wg
+    dtype = features_n4.dtype
+
+    batch_idx = jnp.clip(rois[:, 0].astype(jnp.int32), 0, B - 1)
+    pos_y = grid_sample_positions(rois[:, 2] * ssh, rois[:, 4] * ssh, output_height, aligned)
+    pos_x = grid_sample_positions(rois[:, 1] * ssw, rois[:, 3] * ssw, output_width, aligned)
+    wy = bilinear_weight_matrix(pos_y, H, "zeros", dtype)  # (N, oh, H)
+    wx = bilinear_weight_matrix(pos_x, W, "zeros", dtype)  # (N, ow, W)
+    # y = 4Y + 2u + ay -> (N, oh, Hg, u, ay); x = 4X + 2v + ax
+    wy = wy.reshape(*wy.shape[:-1], Hg, 2, 2)
+    wx = wx.reshape(*wx.shape[:-1], Wg, 2, 2)
+
+    sel = jnp.take(features_n4, batch_idx, axis=0)
+    sel = sel.reshape(-1, Hg, Wg, 2, 2, 2, 2, C)  # [u, v, ay, ax, c]
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    t = jnp.einsum("nyhua,nhwuvabc->nywvbc", wy, sel, precision=prec)
+    out = jnp.einsum("nxwvb,nywvbc->nyxc", wx, t, precision=prec)
+    return out.astype(dtype)
+
+
 def _upsample_2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Exact 2x half-pixel bilinear upsample along one axis, elementwise.
 

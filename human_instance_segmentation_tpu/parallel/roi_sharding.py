@@ -32,7 +32,7 @@ def make_roi_sharded_infer(model, mesh: Mesh, dilation_pixels: int = 0):
 
     def local_infer(params, images, rois):
         logits, aux = model.apply(params, images, rois, train=False)
-        inst, binary = deployed_outputs(logits, aux["full_image_logits"], rois,
+        inst, binary = deployed_outputs(logits, aux, rois,
                                         dilation_pixels)
         return inst, binary
 
