@@ -79,6 +79,8 @@ def deployed_outputs(
     instance = instance * valid
     if isinstance(full_image_logits, dict):
         aux = full_image_logits
+        if "person_prob_dense" in aux:  # Pallas fused-tail serving (rank-3)
+            return instance, aux["person_prob_dense"][..., None]
         if "person_prob_n4" in aux:
             from .ops.s2d import n4_to_plain
             binary = n4_to_plain(aux["person_prob_n4"], 1)
@@ -217,6 +219,14 @@ def create_flagship(
     images = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
     rois = jnp.asarray([[0.0, 0.25, 0.25, 0.75, 0.75]], jnp.float32)
     # jit the init: one compiled program instead of per-op dispatches (which
-    # are pathologically slow over a remote-device tunnel).
-    params = jax.jit(lambda r: model.init(r, images, rois, train=False))(rng)
+    # are pathologically slow over a remote-device tunnel). Init through the
+    # non-Pallas model (identical parameter tree by construction) so the
+    # kernel isn't compiled at tiny init shapes.
+    init_model = model
+    if kwargs.get("pallas_tail"):
+        init_model = HierarchicalInstanceSegmenter(
+            encoder_variant=variant, roi_size=roi_size, mask_size=mask_size,
+            image_size=image_size, **{**kwargs, "pallas_tail": False},
+        )
+    params = jax.jit(lambda r: init_model.init(r, images, rois, train=False))(rng)
     return model, params

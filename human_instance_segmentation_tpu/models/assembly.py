@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..ops.activations import get_activation
 from ..ops.quant import QConv
 from ..ops.s2d import n4_to_plain
-from ..ops.sampling import resize_bilinear, roi_align, roi_align_n4
+from ..ops.sampling import (resize_bilinear, roi_align, roi_align_dense,
+                            roi_align_n4)
 from .blocks import ConvNormAct, ResidualBlock
 from .heads import HierarchicalHeadV2, PretrainedUNetGuidedHead, RefinedHierarchicalHead
 from .unet import PeopleSegUNetWrapper, PeopleSegmentationUNet
@@ -115,6 +116,9 @@ class HierarchicalInstanceSegmenter(nn.Module):
     fused_tail: int = 0
     # Serving: first N encoder MBConv blocks via the fused Pallas kernel.
     encoder_fused_blocks: int = 0
+    # Serving: last stage-1 decoder stage + seg head as one Pallas kernel
+    # (ops/pallas_tail.py); stage-1 logits then flow DENSE rank-3.
+    pallas_tail: bool = False
 
     def setup(self):
         self.pretrained_unet = PeopleSegmentationUNet(
@@ -122,6 +126,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
             decoder_channels=self.unet_decoder_channels,
             fused_tail=self.fused_tail,
             encoder_fused_blocks=self.encoder_fused_blocks,
+            pallas_tail=self.pallas_tail,
             name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
         self.rgb_extractor = RGBPatchFeatureExtractor(
@@ -199,6 +204,20 @@ class HierarchicalInstanceSegmenter(nn.Module):
                 roi_bg_fg = jax.lax.stop_gradient(roi_bg_fg)
             full_image_logits = n4_to_plain(x2_n4.reshape(b, hg, wg, 32), 2)
             aux_extra["person_prob_n4"] = jax.nn.softmax(x2_n4, axis=-1)[..., 0]
+        elif form == "dense":
+            # Pallas fused-tail serving: x1 is the rank-3 (B, H, W) person
+            # logit map — dense 128-lane layout, no channel padding. The
+            # wrapper (1x1 conv) and softmax are elementwise maps XLA fuses;
+            # the lane-padded (B, H, W, 2) tensor only materialises for
+            # consumers that ask for aux["full_image_logits"].
+            roi_bg_fg = self.unet_wrapper(
+                roi_align_dense(x1, rois, rh, rw, spatial_scale=scale, aligned=True))
+            o2 = self.unet_wrapper(x1[..., None])
+            if self.freeze_pretrained:
+                roi_bg_fg = jax.lax.stop_gradient(roi_bg_fg)
+                o2 = jax.lax.stop_gradient(o2)
+            full_image_logits = o2
+            aux_extra["person_prob_dense"] = jax.nn.softmax(o2, axis=-1)[..., 0]
         else:
             full_image_logits = self.unet_wrapper(x1)
             if self.freeze_pretrained:

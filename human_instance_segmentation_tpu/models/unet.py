@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas_tail import TR as _TAIL_TR
+from ..ops.pallas_tail import tail_with_borders
 from ..ops.quant import QConv
 from ..ops.s2d import (conv3x3_s2d, conv3x3_s2d_to_n4, conv3x3_strided_s2d,
                        conv_up_s2d, conv_up_s2d_nested, depth_to_space,
@@ -53,6 +55,21 @@ class _BNParams(nn.Module):
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         return scale, bias, mean.value, var.value
+
+
+class _DecoderParams(nn.Module):
+    """DecoderBlock's fused-path parameter tree (conv0/bn0/conv1/bn1) without
+    the apply — for the Pallas fused tail, which consumes the raw weights."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k0, _ = _Conv3Params(self.features, name="conv0")(cin)
+        bn0 = _BNParams(name="bn0")(self.features)
+        k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
+        bn1 = _BNParams(name="bn1")(self.features)
+        return k0, bn0, k1, bn1
 
 
 def _bn_relu_s2d(y, scale, bias, mean, var, eps=1e-5):
@@ -155,6 +172,12 @@ class PeopleSegmentationUNet(nn.Module):
     # form (ops/s2d.py::conv_up_s2d_nested). Exact but measured slower than
     # the plain chain under XLA; see the note at the call site.
     nested_tail: bool = False
+    # Serving: run the LAST decoder stage + seg head as one VMEM-resident
+    # Pallas kernel (ops/pallas_tail.py) — identical params/math; output is
+    # the DENSE rank-3 (B, H, W) logit map (raw form "dense"). Requires the
+    # previous stage fused (S2D input), a skip-free last stage, classes=1,
+    # and the cell grid a multiple of the kernel's row tile.
+    pallas_tail: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False, raw: bool = False):
@@ -194,6 +217,16 @@ class PeopleSegmentationUNet(nn.Module):
             # tensor passes over layout-padded 5-D intermediates (traces r2).
             # Kept off; the Pallas fused tail owns this instead.
             input_s2d = self.nested_tail and h_is_s2d and use_fused and skip is None
+            if (self.pallas_tail and not train and i == n - 1 and h_is_s2d
+                    and skip is None and use_fused and self.classes == 1
+                    and h.shape[1] % _TAIL_TR == 0 and h.shape[1] >= 2 * _TAIL_TR
+                    and h.shape[2] % 8 == 0):
+                # Pallas fused tail: decoder{n-1} + seg head in one kernel;
+                # parameter tree identical to the unfused path by name.
+                k0, bn0, k1, bn1 = _DecoderParams(ch, name=f"decoder{i}")(h.shape[-1] // 4)
+                kh, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch)
+                y = tail_with_borders(h, k0, bn0, k1, bn1, kh, bsh)
+                return ("dense", y) if raw else y[..., None]
             if h_is_s2d and not input_s2d:
                 h = depth_to_space(h, 2)
             h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused,

@@ -186,6 +186,38 @@ def roi_align_n4(
     return out.astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("output_height", "output_width", "spatial_scale", "aligned"))
+def roi_align_dense(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_height: int,
+    output_width: int,
+    spatial_scale: Scale = (640.0, 640.0),
+    aligned: bool = False,
+) -> jnp.ndarray:
+    """:func:`roi_align` over a single-channel map stored DENSE as rank-3.
+
+    features: (B, H, W) — W in the 128-lane dimension with no channel
+    padding (the Pallas fused-tail serving form, ops/pallas_tail.py).
+    Returns (N, oh, ow, 1).
+    """
+    ssh, ssw = _as_hw(spatial_scale)
+    B, H, W = features.shape
+    dtype = features.dtype
+
+    batch_idx = jnp.clip(rois[:, 0].astype(jnp.int32), 0, B - 1)
+    pos_y = grid_sample_positions(rois[:, 2] * ssh, rois[:, 4] * ssh, output_height, aligned)
+    pos_x = grid_sample_positions(rois[:, 1] * ssw, rois[:, 3] * ssw, output_width, aligned)
+    wy = bilinear_weight_matrix(pos_y, H, "zeros", dtype)  # (N, oh, H)
+    wx = bilinear_weight_matrix(pos_x, W, "zeros", dtype)  # (N, ow, W)
+
+    sel = jnp.take(features, batch_idx, axis=0)  # (N, H, W)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    t = jnp.einsum("nyh,nhw->nyw", wy, sel, precision=prec)
+    out = jnp.einsum("nxw,nyw->nyx", wx, t, precision=prec)
+    return out.astype(dtype)[..., None]
+
+
 def _upsample_2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Exact 2x half-pixel bilinear upsample along one axis, elementwise.
 
