@@ -26,9 +26,12 @@ def main():
     # fused_tail: the last stage-1 decoder stages run in space-to-depth form
     # (exact same params/math, ops/s2d.py) — 2.1x on stage 1, which otherwise
     # dominates at <5% MFU (scripts/profile_stage1.py).
+    # encoder_s2d_front: stem + stage-0 + stage-1 entry as composed S2D
+    # convs (the C=16/32 full-res tensors pad 4-8x in HBM lanes otherwise);
+    # exact, tests/test_s2d_front.py — 649 -> 734 img/s.
     model, params = create_flagship(
         variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
-        fused_tail=3)
+        fused_tail=3, encoder_s2d_front=True)
     # bf16 serving: TPU-native mixed precision (norm statistics stay f32
     # inside the modules); the reference's TRT baseline row is fp16.
     params = cast_floating(params, jnp.bfloat16)

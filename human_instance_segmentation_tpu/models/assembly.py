@@ -119,6 +119,8 @@ class HierarchicalInstanceSegmenter(nn.Module):
     # Serving: last stage-1 decoder stage + seg head as one Pallas kernel
     # (ops/pallas_tail.py); stage-1 logits then flow DENSE rank-3.
     pallas_tail: bool = False
+    # Serving: encoder stem/stage-0/stage-1-entry in S2D(2) composed form.
+    encoder_s2d_front: bool = False
 
     def setup(self):
         self.pretrained_unet = PeopleSegmentationUNet(
@@ -127,6 +129,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
             fused_tail=self.fused_tail,
             encoder_fused_blocks=self.encoder_fused_blocks,
             pallas_tail=self.pallas_tail,
+            encoder_s2d_front=self.encoder_s2d_front,
             name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
         self.rgb_extractor = RGBPatchFeatureExtractor(

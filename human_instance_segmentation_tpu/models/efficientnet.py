@@ -137,9 +137,18 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     drop_path: float = 0.0
     fused: bool = False
+    # Serving: consume the input in S2D(2) phase-major form (ops/s2d.py) —
+    # the composed-kernel path for the lane-starved high-res blocks. With
+    # ``s2d_out`` (stride-1 k3 blocks) the output stays in S2D form; without
+    # it (the stride-2 k3 stage-exit block) the depthwise conv's stride-2
+    # absorbs the depth-to-space and the output is the PLAIN half-res map.
+    s2d_in: bool = False
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.s2d_in and not train:
+            return self._s2d(x)
         in_ch = x.shape[-1]
         mid = in_ch * self.expand_ratio
         if self.fused and not train:
@@ -167,6 +176,70 @@ class MBConv(nn.Module):
                 h = h * mask / keep
             h = h + x
         return h
+
+    def _s2d(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Serving path on S2D(2) input (B, H/2, W/2, 4*Ci), exact vs the
+        plain path (eval BNs folded into the composed kernels; zero padding
+        on the half grid equals full-res zero padding)."""
+        from jax import lax
+
+        from ..ops.pallas_mbconv import fold_bn
+        from ..ops.s2d import (conv1x1_kernel_s2d, dw_kernel_s2d,
+                               dw_stride2_exit_kernel_s2d)
+
+        assert self.kernel == 3, "S2D MBConv path supports k=3 blocks"
+        dt = x.dtype
+        in_ch = x.shape[-1] // 4
+        mid = in_ch * self.expand_ratio
+        f32 = jnp.float32
+        conv = lambda h, k, pad="SAME": lax.conv_general_dilated(
+            h, k.astype(dt), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        t4 = lambda v: jnp.tile(v, 4).astype(dt)
+
+        h = x
+        if self.expand_ratio != 1:
+            ke, _ = _ConvKernel((1, 1, in_ch, mid), name="expand_conv")()
+            g0, b0 = fold_bn(*_BNParams(name="bn0")(mid))
+            kes = conv1x1_kernel_s2d(ke.astype(f32) * g0[None, None, None])
+            h = jax.nn.silu(conv(h, kes) + t4(b0))
+
+        kdw, _ = _ConvKernel((3, 3, 1, mid), name="dw_conv")()
+        g1, b1 = fold_bn(*_BNParams(name="bn1")(mid))
+        kdwf = kdw.astype(f32) * g1[None, None, None]
+        if self.s2d_out:
+            assert self.stride == 1
+            d = jax.nn.silu(conv(h, dw_kernel_s2d(kdwf)) + t4(b1))
+        else:
+            assert self.stride == 2
+            d = conv(h, dw_stride2_exit_kernel_s2d(kdwf),
+                     pad=((0, 1), (0, 1)))
+            d = jax.nn.silu(d + b1.astype(dt))
+
+        if self.se_ratio > 0:
+            sq = max(1, int(in_ch * self.se_ratio))
+            kr, br, kse, bse = _SEParams(sq, mid, name="se")()
+            if self.s2d_out:
+                m = jnp.mean(d.reshape(*d.shape[:3], 4, mid), axis=(1, 2, 3))
+            else:
+                m = jnp.mean(d, axis=(1, 2))
+            u = jax.nn.silu(m.astype(f32) @ kr[0, 0].astype(f32)
+                            + br.astype(f32)[None])
+            s = jax.nn.sigmoid(u @ kse[0, 0].astype(f32)
+                               + bse.astype(f32)[None])
+            s = s.astype(dt)
+            d = d * (jnp.tile(s, (1, 4)) if self.s2d_out else s)[:, None, None, :]
+
+        kp, _ = _ConvKernel((1, 1, mid, self.out_channels), name="project_conv")()
+        g2, b2 = fold_bn(*_BNParams(name="bn2")(self.out_channels))
+        kpf = kp.astype(f32) * g2[None, None, None]
+        if self.s2d_out:
+            y = conv(d, conv1x1_kernel_s2d(kpf)) + t4(b2)
+        else:
+            y = conv(d, kpf) + b2.astype(dt)
+        if self.stride == 1 and in_ch == self.out_channels:
+            y = y + x
+        return y
 
     def _fused(self, x: jnp.ndarray, in_ch: int, mid: int) -> jnp.ndarray:
         from ..ops.pallas_mbconv import fold_bn, fused_mbconv_chw
@@ -210,17 +283,43 @@ class EfficientNetEncoder(nn.Module):
     variant: str = "b0"
     drop_path_rate: float = 0.0
     fused_blocks: int = 0
+    # Serving: compute the stem + stage-0 blocks + the stage-1 entry block
+    # in S2D(2) form via composed kernels (ops/s2d.py) — the C=16/32
+    # full-resolution tensors otherwise pad 4-8x in HBM lanes (measured
+    # 5.4 -> 3.9 ms/batch-32, scripts/profile_encoder_s2d.py). The stem
+    # tap (features[0]) is then returned in S2D(2) phase-major form; the
+    # caller owns interpreting it (unet.py's fused decoder consumes it
+    # directly, with no full-res materialisation anywhere).
+    s2d_front: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         width, depth, _ = VARIANTS[self.variant]
         stem_ch = round_channels(32, width)
-        h = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, name="stem_conv")(x)
-        h = _bn("stem_bn", train)(h)
-        h = jax.nn.silu(h)
+        s2d = (self.s2d_front and not train
+               and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+        if s2d:
+            from jax import lax
+
+            from ..ops.pallas_mbconv import fold_bn
+            from ..ops.s2d import stem_kernel_s2d
+
+            kst, _ = _ConvKernel((3, 3, 3, stem_ch), name="stem_conv")()
+            g, bsh = fold_bn(*_BNParams(name="stem_bn")(stem_ch))
+            k5 = stem_kernel_s2d(
+                kst.astype(jnp.float32) * g[None, None, None])
+            h = lax.conv_general_dilated(
+                x, k5.astype(x.dtype), (4, 4), ((0, 1), (0, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jax.nn.silu(h + jnp.tile(bsh, 4).astype(x.dtype))
+        else:
+            h = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, name="stem_conv")(x)
+            h = _bn("stem_bn", train)(h)
+            h = jax.nn.silu(h)
 
         # Five taps, smp encoder contract: stem@s2, stage1-out@s4,
-        # stage2-out@s8, stage4-out@s16, stage6-out@s32.
+        # stage2-out@s8, stage4-out@s16, stage6-out@s32. With s2d_front,
+        # features[0] is the stem tap in S2D(2) form.
         features = [h]
         tap_after = {1, 2, 4, 6}
         total_blocks = sum(round_repeats(r, depth) for (_, _, _, _, r) in _B0_STAGES)
@@ -230,13 +329,19 @@ class EfficientNetEncoder(nn.Module):
             repeats = round_repeats(r, depth)
             for j in range(repeats):
                 dp = self.drop_path_rate * block_idx / max(total_blocks, 1)
+                stride = s if j == 0 else 1
+                # S2D coverage: all of stage 0 (k3 s1) in-form; stage 1's
+                # entry block (k3 s2) exits to the plain half-res map.
+                blk_s2d = s2d and (stage_i == 0 or (stage_i == 1 and j == 0))
                 h = MBConv(
                     out_channels=out_ch,
                     expand_ratio=e,
                     kernel=k,
-                    stride=s if j == 0 else 1,
+                    stride=stride,
                     drop_path=dp,
-                    fused=block_idx < self.fused_blocks,
+                    fused=(not blk_s2d) and block_idx < self.fused_blocks,
+                    s2d_in=blk_s2d,
+                    s2d_out=blk_s2d and stride == 1,
                     name=f"stage{stage_i}_block{j}",
                 )(h, train=train)
                 block_idx += 1

@@ -93,6 +93,10 @@ class DecoderBlock(nn.Module):
     # only, skip-free blocks): the composed up+conv consumes it directly —
     # no depth_to_space materialisation of the small-C full-res tensor.
     input_s2d: bool = False
+    # the skip arrives in S2D(2) form (encoder s2d_front stem tap): the
+    # fused path consumes it via conv3x3_s2d — the full-res lane-padded
+    # skip tensor never exists.
+    skip_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None, train: bool = False) -> jnp.ndarray:
@@ -113,17 +117,25 @@ class DecoderBlock(nn.Module):
             y = jax.lax.optimization_barrier(y)
             y = conv3x3_s2d(y, k1)
             return _bn_relu_s2d(y, s1, b1, m1, v1)
-        can_fuse = (self.fused and not train
-                    and (skip is None or skip.shape[1:3] == (2 * h, 2 * w)))
+        skip_is_s2d = self.skip_s2d and skip is not None
+        skip_ch = 0 if skip is None else (
+            skip.shape[-1] // 4 if skip_is_s2d else skip.shape[-1])
+        size_ok = skip is None or (
+            skip.shape[1:3] == ((h, w) if skip_is_s2d else (2 * h, 2 * w)))
+        can_fuse = self.fused and not train and size_ok
         if can_fuse:
-            cin = cx + (skip.shape[-1] if skip is not None else 0)
+            cin = cx + skip_ch
             k0, _ = _Conv3Params(self.features, name="conv0")(cin)
             s0, b0, m0, v0 = _BNParams(name="bn0")(self.features)
             k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
             s1, b1, m1, v1 = _BNParams(name="bn1")(self.features)
 
             y = conv_up_s2d(x, k0[:, :, :cx])
-            if skip is not None:
+            if skip_is_s2d:
+                # S2D skip (encoder s2d_front): same full-res 3x3 conv math
+                # directly on the phase form
+                y = y + conv3x3_s2d(skip, k0[:, :, cx:])
+            elif skip is not None:
                 # one 4x4 stride-2 conv straight off the full-res skip — no
                 # space_to_depth relayout (profile_fused_parts.py: ~3.7 ms)
                 y = y + conv3x3_strided_s2d(skip, k0[:, :, cx:])
@@ -131,6 +143,8 @@ class DecoderBlock(nn.Module):
             y = conv3x3_s2d(y, k1)
             return _bn_relu_s2d(y, s1, b1, m1, v1)
 
+        if skip_is_s2d:  # unfused consumer: materialise the plain skip
+            skip = depth_to_space(skip, 2)
         x = resize_bilinear(x, h * 2, w * 2)
         if skip is not None:
             # Guard odd input sizes: match the skip's spatial extent.
@@ -168,6 +182,10 @@ class PeopleSegmentationUNet(nn.Module):
     # Pallas kernel (ops/pallas_mbconv.py) — the high-res blocks are
     # HBM-bound and XLA moves the 6x-expanded tensor through HBM ~4 times.
     encoder_fused_blocks: int = 0
+    # Serving: encoder stem + stage-0 + stage-1 entry in S2D(2) composed
+    # form (models/efficientnet.py); the stem tap feeds the fused decoder
+    # directly in phase form. Exact (tests/test_s2d_front.py).
+    encoder_s2d_front: bool = False
     # Experimental: chain consecutive fused skip-free decoder stages in S2D
     # form (ops/s2d.py::conv_up_s2d_nested). Exact but measured slower than
     # the plain chain under XLA; see the note at the call site.
@@ -191,11 +209,15 @@ class PeopleSegmentationUNet(nn.Module):
         std = jnp.asarray(self.normalize_std, images.dtype)
         x = (images - mean) / std
 
+        s2d_front = (self.encoder_s2d_front and not train
+                     and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         feats = EfficientNetEncoder(
             variant=self.encoder_variant, drop_path_rate=self.drop_path_rate,
-            fused_blocks=0 if train else self.encoder_fused_blocks, name="encoder"
+            fused_blocks=0 if train else self.encoder_fused_blocks,
+            s2d_front=s2d_front, name="encoder"
         )(x, train=train)
-        # feats: (s2, s4, s8, s16, s32)
+        # feats: (s2, s4, s8, s16, s32); with s2d_front the s2 stem tap is
+        # in S2D(2) phase form (consumed by the fused decoder directly)
         skips = list(feats[:-1])[::-1]  # s16, s8, s4, s2
         h = feats[-1]
         n = len(self.decoder_channels)
@@ -203,12 +225,16 @@ class PeopleSegmentationUNet(nn.Module):
         h_is_s2d = False
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
+            skip_s2d = s2d_front and i == len(skips) - 1 and skip is not None
             hh, hw = h.shape[1], h.shape[2]
             if h_is_s2d:
                 hh, hw = 2 * hh, 2 * hw  # full-res extent of the s2d form
+            skip_fullres = None if skip is None else (
+                (2 * skip.shape[1], 2 * skip.shape[2]) if skip_s2d
+                else skip.shape[1:3])
             use_fused = (
                 i >= n - fused
-                and (skip is None or skip.shape[1:3] == (2 * hh, 2 * hw))
+                and (skip is None or skip_fullres == (2 * hh, 2 * hw))
             )
             # consecutive fused skip-free stages CAN chain in S2D form via
             # conv_up_s2d_nested (exact; tests/test_s2d.py) — measured SLOWER
@@ -230,7 +256,8 @@ class PeopleSegmentationUNet(nn.Module):
             if h_is_s2d and not input_s2d:
                 h = depth_to_space(h, 2)
             h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused,
-                             input_s2d=input_s2d)(h, skip, train=train)
+                             input_s2d=input_s2d, skip_s2d=skip_s2d)(
+                h, skip, train=train)
             h_is_s2d = use_fused
         if h_is_s2d:
             ch_last = h.shape[-1] // 4

@@ -531,3 +531,69 @@ def conv1x1_kernel_s2d(w: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     for i in range(p):
         out = out.at[:, :, i * ci:(i + 1) * ci, i * co:(i + 1) * co].set(w)
     return out
+
+
+def stem_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 3x3 stem kernel (3, 3, Ci, C) -> a (5, 5, Ci, 4*C) stride-4
+    kernel whose output IS the stem output in S2D(2) form (phase-major).
+
+    TF-SAME s2 k3 on even extents pads (0, 1): out row o taps in rows
+    [2o, 2o+3). Composed over the 2x2 output phase block, cell Y covers in
+    rows [4Y, 4Y+5) — one conv with explicit padding ((0, 1), (0, 1)) and
+    no relayout pass (the plain stem output, C=32, pads 4x in HBM lanes).
+    """
+    import numpy as np
+    c = w.shape[-1]
+    # S[g, r, d] = 1 where kernel row r = 2g + d (phase g, original tap d)
+    S = np.zeros((2, 5, 3), np.float32)
+    for g in range(2):
+        for d in range(3):
+            S[g, 2 * g + d, d] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    # (5, 5, Ci, 2, 2, C): out channel block (gy, gx) phase-major
+    k5 = jnp.einsum("grd,hse,deio->rsigho", Sj, Sj, w)
+    return k5.reshape(5, 5, w.shape[2], 4 * c)
+
+
+def dw_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise SAME s1 3x3 kernel (3, 3, 1, C) -> the dense
+    (3, 3, 4C, 4C) kernel computing it on the S2D(2) grid (phase-major;
+    off-phase/off-channel blocks zero). Zero padding on the half grid
+    equals full-res zero padding, so edges are exact."""
+    import numpy as np
+    c = w.shape[-1]
+    wf = w[:, :, 0]                              # (3, 3, C)
+    # S[k, gi, go, d] = 1 where full-res tap d = 2(k-1) + gi - go + 1
+    S = np.zeros((3, 2, 2, 3), np.float32)
+    for k in range(3):
+        for gi in range(2):
+            for go in range(2):
+                d = 2 * (k - 1) + gi - go + 1
+                if 0 <= d < 3:
+                    S[k, gi, go, d] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    a = jnp.einsum("kipd,ljqe,dec->klipjqc", Sj, Sj, wf)  # (3,3,gi,go,gxi,gxo,C)
+    eye = jnp.eye(c, dtype=w.dtype)
+    k4 = jnp.einsum("klipjqc,cd->klijcpqd", a, eye)  # in (gi,gxi,ci), out (go,gxo,co)
+    return k4.reshape(3, 3, 4 * c, 4 * c)
+
+
+def dw_stride2_exit_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise SAME s2 3x3 kernel (3, 3, 1, C) consuming an S2D(2) input
+    -> a (2, 2, 4C, C) phase-selecting kernel (explicit padding (0, 1))
+    whose output is the PLAIN half-res map. TF-SAME s2 k3 pads (0, 1):
+    out row O taps full-res rows [2O, 2O+3) = S2D cells O, O+1."""
+    import numpy as np
+    c = w.shape[-1]
+    wf = w[:, :, 0]
+    # S[k, gi, d] = 1 where d = 2k + gi
+    S = np.zeros((2, 2, 3), np.float32)
+    for k in range(2):
+        for gi in range(2):
+            if 2 * k + gi < 3:
+                S[k, gi, 2 * k + gi] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    a = jnp.einsum("kid,lje,dec->klijc", Sj, Sj, wf)   # (2,2,gi,gxi,C)
+    eye = jnp.eye(c, dtype=w.dtype)
+    k2 = jnp.einsum("klijc,cd->klijcd", a, eye)
+    return k2.reshape(2, 2, 4 * c, c)
