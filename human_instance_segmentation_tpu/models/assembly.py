@@ -190,6 +190,20 @@ class HierarchicalInstanceSegmenter(nn.Module):
             x1 = jax.lax.stop_gradient(x1)
 
         aux_extra: Dict[str, jnp.ndarray] = {}
+
+        def person_prob(x):
+            # softmax(wrapper(x), -1)[..., 0] == sigmoid((w0-w1)x + (b0-b1))
+            # for the 1->2 channel 1x1 wrapper; the weights come from a
+            # 2-point probe so the identity holds for ANY trained wrapper.
+            # This keeps the full-res probability map a pure elementwise
+            # function of the phase-form logits — no reshape/conv pass.
+            probe = self.unet_wrapper(
+                jnp.asarray([0.0, 1.0], x.dtype).reshape(2, 1, 1, 1))
+            bias = probe[0, 0, 0]
+            wvec = probe[1, 0, 0] - bias
+            return jax.nn.sigmoid(x * (wvec[0] - wvec[1])
+                                  + (bias[0] - bias[1]))
+
         if form == "n4":
             # Nested-S2D(4) serving path: the stage-1 logit map stays in its
             # (B, H/4, W/4, 16) phase form end to end. RoIAlign is linear, so
@@ -206,7 +220,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
                 x2_n4 = jax.lax.stop_gradient(x2_n4)
                 roi_bg_fg = jax.lax.stop_gradient(roi_bg_fg)
             full_image_logits = n4_to_plain(x2_n4.reshape(b, hg, wg, 32), 2)
-            aux_extra["person_prob_n4"] = jax.nn.softmax(x2_n4, axis=-1)[..., 0]
+            aux_extra["person_prob_n4"] = person_prob(x1)
         elif form == "dense":
             # Pallas fused-tail serving: x1 is the rank-3 (B, H, W) person
             # logit map — dense 128-lane layout, no channel padding. The
@@ -220,7 +234,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
                 roi_bg_fg = jax.lax.stop_gradient(roi_bg_fg)
                 o2 = jax.lax.stop_gradient(o2)
             full_image_logits = o2
-            aux_extra["person_prob_dense"] = jax.nn.softmax(o2, axis=-1)[..., 0]
+            aux_extra["person_prob_dense"] = person_prob(x1)
         else:
             full_image_logits = self.unet_wrapper(x1)
             if self.freeze_pretrained:
