@@ -102,6 +102,7 @@ class InferenceEngine:
         dtype: jnp.dtype = jnp.float32,
         quantize: Optional[str] = None,
         fused_head: bool = False,
+        const_params: bool = False,
     ):
         """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
         the MXU (the TPU analogue of the reference's TensorRT int8 engines).
@@ -112,7 +113,14 @@ class InferenceEngine:
         through the fused Pallas kernel (ops/pallas_head.py) and runs the
         head's mask-resolution upsample branches in S2D form — exact math,
         fewer memory passes. Mutually exclusive with ``quantize`` (the int8
-        path takes precedence where both apply)."""
+        path takes precedence where both apply).
+
+        ``const_params=True`` bakes the weights into each compiled program
+        as XLA constants (fixed-weights serving): the composed S2D kernels,
+        BN folds and weight-layout prepacks constant-fold at compile time
+        instead of re-deriving per call. Trades compile time and program
+        size for step time; the engine's ``params`` can then no longer be
+        swapped without clearing the compile cache."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.model = model
@@ -122,6 +130,8 @@ class InferenceEngine:
         self.dtype = dtype
         self.quantize = quantize
         self.fused_head = fused_head
+        self.const_params = const_params
+        self._np_params: Any = None
         self._scales: Optional[dict] = None
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
@@ -156,13 +166,22 @@ class InferenceEngine:
             use_fusion = self.fused_head
             scales = self._scales
 
-            @jax.jit
-            def run(params, images, rois):
+            def forward(params, images, rois):
                 # the contexts are consulted at trace time
                 with int8_serving(use_int8, scales), head_fusion(use_fusion):
                     logits, aux = self.model.apply(params, images, rois, train=False)
                 inst, binary = deployed_outputs(logits, aux, rois, dil)
                 return inst, binary, logits
+
+            if self.const_params:
+                # numpy leaves close over the trace as XLA constants
+                if self._np_params is None:
+                    self._np_params = jax.tree.map(np.asarray, self.params)
+                cp = self._np_params
+                run = jax.jit(lambda params, images, rois:
+                              forward(cp, images, rois))
+            else:
+                run = jax.jit(forward)
 
             self._compiled[key] = run
         return self._compiled[key]

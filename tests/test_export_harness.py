@@ -169,6 +169,23 @@ def test_analyze_dataset():
     assert stats["instance_count_histogram"] == {2: 1}
 
 
+def test_const_params_engine_matches(tiny_model, rng):
+    """const_params=True (weights baked as XLA constants) is a pure serving
+    switch: outputs must be identical to the params-as-arguments engine."""
+    from human_instance_segmentation_tpu.inference import InferenceEngine
+
+    model, variables = tiny_model
+    images = rng.random((1, 64, 64, 3)).astype(np.float32)
+    rois = np.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], np.float32)
+    ref = InferenceEngine(model, variables, dilation_pixels=1)
+    con = InferenceEngine(model, variables, dilation_pixels=1,
+                          const_params=True)
+    inst_r, bin_r = ref(images, rois)
+    inst_c, bin_c = con(images, rois)
+    np.testing.assert_array_equal(inst_r, inst_c)
+    np.testing.assert_allclose(bin_r, bin_c, atol=1e-6)
+
+
 def test_nchw_compat_api(tiny_model, rng):
     from human_instance_segmentation_tpu.inference import InferenceEngine
 
