@@ -1,7 +1,9 @@
-"""Latency benchmark: B0 flagship, batch 1, N ROIs — the BASELINE.md shape.
+"""Latency benchmark: flagship, batch 1, N ROIs — the BASELINE.md shapes.
 
 Reports per-call latency (and per-ROI p50) for N in {1, 3, 10} against the
-reference's TensorRT EP rows (BASELINE.md:12-17: 4.74 / 6.51 / 12.60 ms).
+reference's TensorRT EP rows:
+  B0 480x640 (BASELINE.md:12-17): 4.74 / 6.51 / 12.60 ms
+  B1 640x640 (BASELINE.md:13-17): 6.86 / 9.75 / 19.69 ms
 
 Method: chained fori_loop with a data dependency + slope between two chain
 lengths (block_until_ready is not a reliable fence on the axon tunnel and
@@ -9,35 +11,40 @@ each call carries a large variable fixed cost; see bench.py). The slope is
 measured several times; the p50 of those per-iteration estimates is
 reported.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_latency.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_latency.py [b0] [b1]
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
-BASELINE_MS = {1: 4.74, 3: 6.51, 10: 12.60}  # B0 480x640 TRT EP
+# variant -> (image (h, w), roi, mask, {n_rois: reference TRT-EP ms})
+SHAPES = {
+    "b0": ((480, 640), (64, 48), (128, 96), {1: 4.74, 3: 6.51, 10: 12.60}),
+    "b1": ((640, 640), (80, 60), (160, 120), {1: 6.86, 3: 9.75, 10: 19.69}),
+}
 
 
-def main():
+def bench_variant(variant: str) -> list:
     import jax
     import jax.numpy as jnp
 
     from human_instance_segmentation_tpu.inference import (
         cast_floating, create_flagship, deployed_outputs)
 
-    ih, iw = 480, 640
+    (ih, iw), roi, mask, baseline_ms = SHAPES[variant]
     model, params = create_flagship(
-        variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
-        fused_tail=3)
+        variant=variant, roi_size=roi, mask_size=mask, image_size=(ih, iw),
+        fused_tail=3, encoder_s2d_front=True)
     params = cast_floating(params, jnp.bfloat16)
 
     def infer(params, images, rois):
         logits, aux = model.apply(params, images, rois, train=False)
-        return deployed_outputs(logits, aux["full_image_logits"], rois, dilation_pixels=1)
+        return deployed_outputs(logits, aux, rois, dilation_pixels=1)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((1, ih, iw, 3), np.float32), jnp.bfloat16)
@@ -70,15 +77,22 @@ def main():
             estimates.append((d2 - d1) / (i2 - i1))
         p50_ms = float(np.median(estimates)) * 1e3
         rows.append({
-            "metric": f"b0_480x640_latency_{n}roi",
+            "metric": f"{variant}_{ih}x{iw}_latency_{n}roi",
             "value": round(p50_ms, 3),
             "unit": "ms (p50 per call)",
             "per_roi_ms": round(p50_ms / n, 3),
-            "baseline_ms": BASELINE_MS[n],
-            "vs_baseline": round(BASELINE_MS[n] / p50_ms, 3),  # >1 == faster
+            "baseline_ms": baseline_ms[n],
+            "vs_baseline": round(baseline_ms[n] / p50_ms, 3),  # >1 == faster
         })
-        print(json.dumps(rows[-1]))
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
 
+
+def main():
+    variants = [v for v in sys.argv[1:] if v in SHAPES] or ["b0"]
+    rows = []
+    for v in variants:
+        rows += bench_variant(v)
     print(json.dumps(rows))
 
 

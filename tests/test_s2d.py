@@ -89,6 +89,36 @@ def test_unet_fused_tail_matches_plain():
     assert p1 == p2
 
 
+@pytest.mark.slow
+def test_flagship_fused_deployed_outputs_match_plain(rng):
+    """Full deployed contract (instance + binary person-prob masks) through
+    the n4 fused-tail serving path == plain path, same params. Covers the
+    elementwise person_prob epilogue (models/assembly.py) end to end."""
+    from human_instance_segmentation_tpu.inference import deployed_outputs
+    from human_instance_segmentation_tpu.models.assembly import (
+        HierarchicalInstanceSegmenter)
+
+    kw = dict(encoder_variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
+              image_size=(64, 64), base_channels=16, depth=2, mid_channels=32,
+              feature_dim=32, unet_decoder_channels=(32, 24, 16, 16, 8))
+    plain = HierarchicalInstanceSegmenter(**kw)
+    fused = HierarchicalInstanceSegmenter(**kw, fused_tail=3)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8],
+                        [1.0, 0.1, 0.05, 0.6, 0.9]], jnp.float32)
+    variables = jax.jit(lambda r: plain.init(r, images, rois, train=False))(
+        jax.random.PRNGKey(0))
+
+    lp, ap = plain.apply(variables, images, rois, train=False)
+    lf, af = fused.apply(variables, images, rois, train=False)
+    assert "person_prob_n4" in af
+    inst_p, bin_p = deployed_outputs(lp, ap["full_image_logits"], rois, 1)
+    inst_f, bin_f = deployed_outputs(lf, af, rois, 1)
+    np.testing.assert_array_equal(np.asarray(inst_p), np.asarray(inst_f))
+    np.testing.assert_allclose(np.asarray(bin_f), np.asarray(bin_p),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_conv3x3_strided_s2d_exact(rng):
     from human_instance_segmentation_tpu.ops.s2d import conv3x3_strided_s2d
 
