@@ -103,6 +103,7 @@ class InferenceEngine:
         quantize: Optional[str] = None,
         fused_head: bool = False,
         const_params: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
         the MXU (the TPU analogue of the reference's TensorRT int8 engines).
@@ -120,7 +121,16 @@ class InferenceEngine:
         BN folds and weight-layout prepacks constant-fold at compile time
         instead of re-deriving per call. Trades compile time and program
         size for step time; the engine's ``params`` can then no longer be
-        swapped without clearing the compile cache."""
+        swapped without clearing the compile cache.
+
+        ``mesh`` enables multi-chip batch-data-parallel serving: stage 1 is
+        sharded over images and stage 2 over ROIs along the mesh's first
+        axis (params replicated); the GSPMD partitioner inserts the
+        cross-shard gathers the ROI crops need, so collectives ride ICI.
+        Axes whose extent doesn't divide the mesh stay replicated — the
+        result is identical to single-device serving either way (the
+        reference's deployment is single-GPU ORT; this is the TPU-native
+        scale-out it lacks)."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.model = model
@@ -131,6 +141,7 @@ class InferenceEngine:
         self.quantize = quantize
         self.fused_head = fused_head
         self.const_params = const_params
+        self.mesh = mesh
         self._np_params: Any = None
         self._scales: Optional[dict] = None
         self._compiled: Dict[Tuple[int, int], Any] = {}
@@ -178,10 +189,25 @@ class InferenceEngine:
                 if self._np_params is None:
                     self._np_params = jax.tree.map(np.asarray, self.params)
                 cp = self._np_params
-                run = jax.jit(lambda params, images, rois:
-                              forward(cp, images, rois))
+                fwd = lambda params, images, rois: forward(cp, images, rois)
             else:
-                run = jax.jit(forward)
+                fwd = forward
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+                ndev = self.mesh.devices.size
+                rep = NamedSharding(self.mesh, P())
+                img_s = (NamedSharding(self.mesh, P(axis))
+                         if batch % ndev == 0 else rep)
+                roi_s = (NamedSharding(self.mesh, P(axis))
+                         if bucket % ndev == 0 else rep)
+                run = jax.jit(fwd, in_shardings=(rep, img_s, roi_s),
+                              out_shardings=(roi_s, img_s, roi_s))
+            else:
+                run = jax.jit(fwd)
 
             self._compiled[key] = run
         return self._compiled[key]

@@ -90,3 +90,32 @@ def test_dp_train_step_runs_on_mesh(tiny):
     _, m1 = step1(state1, host_batch)
     # dropout rngs differ per shard so losses differ slightly; same scale
     assert abs(float(m1["total_loss"]) - float(metrics["total_loss"])) < 1.0
+
+
+@pytest.mark.slow
+def test_engine_mesh_serving_matches_single_device(tiny):
+    """InferenceEngine(mesh=...) — batch-DP GSPMD serving is exact."""
+    from human_instance_segmentation_tpu.inference import InferenceEngine
+
+    model, variables = tiny
+    mesh = create_mesh(8)
+    rng = np.random.default_rng(1)
+    images = rng.random((8, 32, 32, 3), np.float32)
+    rois = np.concatenate([
+        np.repeat(np.arange(8, dtype=np.float32), 2)[:, None],
+        np.tile(np.asarray([[0.1, 0.15, 0.85, 0.9]], np.float32), (16, 1)),
+    ], axis=1)
+
+    ref_eng = InferenceEngine(model, variables, dilation_pixels=1)
+    mesh_eng = InferenceEngine(model, variables, dilation_pixels=1, mesh=mesh)
+    inst_r, bin_r = ref_eng(images, rois)
+    inst_m, bin_m = mesh_eng(images, rois)
+
+    np.testing.assert_allclose(inst_m, inst_r, atol=1e-5)
+    np.testing.assert_allclose(bin_m, bin_r, atol=1e-5)
+
+    # non-divisible batch/bucket falls back to replication, still exact
+    inst_r3, bin_r3 = ref_eng(images[:3], rois[:3])
+    inst_m3, bin_m3 = mesh_eng(images[:3], rois[:3])
+    np.testing.assert_allclose(inst_m3, inst_r3, atol=1e-5)
+    np.testing.assert_allclose(bin_m3, bin_r3, atol=1e-5)
