@@ -51,6 +51,7 @@ def run_distillation(
     output_dir: Optional[str] = None,
     resume: bool = False,
     platform: Optional[str] = None,
+    config_modifications: Optional[Dict] = None,
 ) -> Dict[str, float]:
     if platform:
         import jax
@@ -72,6 +73,12 @@ def run_distillation(
     from .state import TrainState
 
     cfg = ConfigManager.get_config(config_name)
+    if config_modifications:
+        # the reference's --config_modifications JSON deep-merge
+        # (train_advanced.py:936-938, config_manager.py:5033-5054)
+        from ..config import _deep_merge
+
+        cfg = _deep_merge(cfg, config_modifications)
     dc = cfg.distillation
     kd_cfg = DistillationConfig(
         initial_temperature=dc.initial_temperature if dc.use_temperature_scheduling else dc.temperature,
@@ -267,10 +274,14 @@ def main():
     p.add_argument("--output_dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--config_modifications", default=None,
+                   help="JSON deep-merged into the named config")
     args = p.parse_args()
+    mods = json.loads(args.config_modifications) if args.config_modifications else None
     m = run_distillation(args.config, args.epochs, args.steps_per_epoch,
                          args.synthetic, args.tiny, args.devices,
-                         args.output_dir, args.resume, args.platform)
+                         args.output_dir, args.resume, args.platform,
+                         config_modifications=mods)
     print(json.dumps({k: v for k, v in m.items() if isinstance(v, float)}, indent=2))
 
 

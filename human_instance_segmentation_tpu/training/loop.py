@@ -48,6 +48,7 @@ def run_training(
     output_dir: Optional[str] = None,
     resume: bool = False,
     platform: Optional[str] = None,
+    config_modifications: Optional[Dict] = None,
 ) -> Dict[str, float]:
     if platform:
         import jax
@@ -67,6 +68,12 @@ def run_training(
     from .steps import make_eval_step, make_train_step
 
     cfg = ConfigManager.get_config(config_name)
+    if config_modifications:
+        # the reference's --config_modifications JSON deep-merge
+        # (train_advanced.py:936-938, config_manager.py:5033-5054)
+        from ..config import _deep_merge
+
+        cfg = _deep_merge(cfg, config_modifications)
     if tiny:
         cfg.model.image_size = (64, 64)
         cfg.model.roi_size = (16, 12)
@@ -311,10 +318,16 @@ def main():
     p.add_argument("--output_dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    p.add_argument("--config_modifications", default=None,
+                   help='JSON deep-merged into the named config, e.g. '
+                        '\'{"training": {"learning_rate": 1e-4}}\'')
     args = p.parse_args()
+    import json as _json
+    mods = _json.loads(args.config_modifications) if args.config_modifications else None
     run_training(args.config, steps=args.steps, epochs=args.epochs,
                  synthetic=args.synthetic, devices=args.devices, tiny=args.tiny,
-                 output_dir=args.output_dir, resume=args.resume, platform=args.platform)
+                 output_dir=args.output_dir, resume=args.resume, platform=args.platform,
+                 config_modifications=mods)
 
 
 if __name__ == "__main__":
