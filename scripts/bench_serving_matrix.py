@@ -1,0 +1,96 @@
+"""Serving-config sweep: one run -> the full throughput matrix.
+
+Times the flagship B0 480x640 batch-32 deployed-outputs program (the
+bench.py shape) across serving modes so the best combination can be picked
+with data:
+
+  base          fused_tail=3 + encoder_s2d_front (the committed bench config)
+  int8          + quantize="int8" (calibrated static scales)
+  fused_head    + Pallas stage-2 conv+LN+act fusion (data-driven gates)
+  const         + const_params=True (weights as XLA constants)
+  int8+const    both
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_serving_matrix.py [modes]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_time(call, i1=5, i2=25):
+    """Chained-iteration slope timing (see bench.py)."""
+
+    def make_chain(iters):
+        @jax.jit
+        def chained(images, rois):
+            def body(i, carry):
+                inst, binary = call(images + carry, rois)
+                return (jnp.mean(inst) * 1e-12).astype(images.dtype)
+            return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, images.dtype))
+        return chained
+
+    c1, c2 = make_chain(i1), make_chain(i2)
+    float(c1(*ARGS))
+    float(c2(*ARGS))
+    best = []
+    for _ in range(3):
+        t0 = time.perf_counter(); float(c1(*ARGS)); d1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(c2(*ARGS)); d2 = time.perf_counter() - t0
+        best.append((d2 - d1) / (i2 - i1))
+    return min(best)
+
+
+def main():
+    global ARGS
+    from human_instance_segmentation_tpu.inference import (
+        InferenceEngine, cast_floating, create_flagship)
+
+    modes = sys.argv[1:] or ["base", "int8", "fused_head", "const", "int8+const"]
+    batch, ih, iw = 32, 480, 640
+
+    model, params = create_flagship(
+        variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+        image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True)
+    params = cast_floating(params, jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, ih, iw, 3), np.float32), jnp.bfloat16)
+    rois = jnp.asarray(np.concatenate([
+        np.arange(batch, dtype=np.float32)[:, None],
+        np.tile(np.asarray([[0.2, 0.1, 0.8, 0.95]], np.float32), (batch, 1)),
+    ], axis=1))
+    ARGS = (images, rois)
+
+    engines = {
+        "base": dict(),
+        "int8": dict(quantize="int8"),
+        "fused_head": dict(fused_head=True),
+        "const": dict(const_params=True),
+        "int8+const": dict(quantize="int8", const_params=True),
+    }
+
+    for mode in modes:
+        kw = engines[mode]
+        eng = InferenceEngine(model, params, dilation_pixels=1,
+                              dtype=jnp.bfloat16, **kw)
+        if kw.get("quantize"):
+            eng.calibrate(np.asarray(images, np.float32), np.asarray(rois))
+        fn = eng._fn(batch, batch)
+        p = eng.params
+
+        def call(a, r, fn=fn, p=p):
+            inst, binary, _ = fn(p, a, r)
+            return inst, binary
+
+        dt = slope_time(call)
+        print(f"{mode:11s} {dt*1e3:8.3f} ms/batch  {batch/dt:7.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
