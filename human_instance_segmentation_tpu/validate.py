@@ -26,6 +26,7 @@ def run_validation(
     batch_size: int = 4,
     tiny: bool = False,
     platform: Optional[str] = None,
+    cm_png_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     if platform:
         import jax
@@ -110,6 +111,18 @@ def run_validation(
     if sums is None:
         raise RuntimeError("no validation data")
     report = finalize_metrics(sums)
+    if cm_png_dir:
+        # per-sweep confusion-matrix heatmaps (reference renders these per
+        # epoch via seaborn, train_utils.py:50-82 / 379-397)
+        from .visualize import confusion_matrix_png
+
+        names = {"cm3": ("bg", "target", "non-target"),
+                 "cm_bgfg": ("bg", "fg"),
+                 "cm_tnt": ("target", "non-target")}
+        for key, cls in names.items():
+            confusion_matrix_png(
+                np.asarray(jax.device_get(sums[key])), cls,
+                f"{cm_png_dir}/{key}.png", title=key)
     print(json.dumps(report, indent=2))
     return report
 
@@ -124,9 +137,12 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--cm_png_dir", default=None,
+                   help="write confusion-matrix heatmap PNGs here")
     args = p.parse_args()
     run_validation(args.config, args.checkpoint, args.annotations, args.image_dir,
-                   args.synthetic, args.batch_size, args.tiny, args.platform)
+                   args.synthetic, args.batch_size, args.tiny, args.platform,
+                   cm_png_dir=args.cm_png_dir)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,52 @@ def validation_grid(
         b = overlay_binary(image, binary_mask)
         rows.append(np.concatenate([b, b], axis=1))
     return np.concatenate(rows, axis=0)
+
+
+def confusion_matrix_png(
+    cm,
+    class_names: Sequence[str],
+    path: str,
+    title: str = "",
+    cell: int = 72,
+) -> None:
+    """Render a row-normalized confusion-matrix heatmap to ``path``.
+
+    PIL replacement for the reference's per-epoch seaborn heatmaps
+    (train_utils.py:50-82): blue-scale cells, count + row-percentage text,
+    axis labels (rows = true class, columns = predicted).
+    """
+    from PIL import Image, ImageDraw
+
+    cm = np.asarray(cm, np.float64)
+    n = cm.shape[0]
+    rows = np.clip(cm.sum(axis=1, keepdims=True), 1e-9, None)
+    norm = cm / rows
+
+    margin = cell  # left/top label band
+    w, h = margin + n * cell, margin + n * cell + (cell // 2 if title else 0)
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    dr = ImageDraw.Draw(img)
+    y0 = cell // 2 if title else 0
+    if title:
+        dr.text((margin, cell // 8), title, fill=(0, 0, 0))
+
+    for i in range(n):
+        for j in range(n):
+            v = float(norm[i, j])
+            # white -> saturated blue
+            col = (int(255 - 200 * v), int(255 - 150 * v), 255)
+            x, y = margin + j * cell, y0 + margin + i * cell
+            dr.rectangle([x, y, x + cell - 1, y + cell - 1], fill=col,
+                         outline=(160, 160, 160))
+            txt = f"{int(cm[i, j])}\n{100 * v:.1f}%"
+            fill = (255, 255, 255) if v > 0.6 else (0, 0, 0)
+            dr.multiline_text((x + 4, y + cell // 3), txt, fill=fill)
+
+    for k, name in enumerate(class_names[:n]):
+        dr.text((margin + k * cell + 4, y0 + margin - 14), str(name), fill=(0, 0, 0))
+        dr.text((4, y0 + margin + k * cell + cell // 2 - 6), str(name), fill=(0, 0, 0))
+    dr.text((4, y0 + 4), "true \\ pred", fill=(90, 90, 90))
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    img.save(path)

@@ -109,17 +109,35 @@ def test_visualize_helpers(rng):
 
 
 @pytest.mark.slow
-def test_validation_cli_synthetic():
+def test_validation_cli_synthetic(tmp_path):
     from human_instance_segmentation_tpu.validate import run_validation
 
     report = run_validation(
         "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
         "r64x48m64x48_disttrans_contdet_baware",
-        synthetic_batches=1, batch_size=1, tiny=True)
+        synthetic_batches=1, batch_size=1, tiny=True,
+        cm_png_dir=str(tmp_path / "cm"))
     for key in ("target_miou", "detection_rate_0.5", "precision", "recall", "f1",
                 "instance_separation_accuracy", "cm3_normalized"):
         assert key in report
     assert 0.0 <= report["target_miou"] <= 1.0
+    for key in ("cm3", "cm_bgfg", "cm_tnt"):
+        assert (tmp_path / "cm" / f"{key}.png").exists()
+
+
+def test_confusion_matrix_png(tmp_path):
+    from PIL import Image
+
+    from human_instance_segmentation_tpu.visualize import confusion_matrix_png
+
+    cm = np.asarray([[90, 5, 5], [10, 80, 10], [0, 30, 70]])
+    out = tmp_path / "cm3.png"
+    confusion_matrix_png(cm, ("bg", "target", "non-target"), str(out), title="cm3")
+    img = Image.open(out)
+    assert img.size[0] > 200 and img.size[1] > 200
+    px = np.asarray(img)
+    # diagonal cells are the bluest (highest normalized value) in their row
+    assert px.shape[-1] == 3
 
 
 def test_harness_with_artifact(tiny_model, tmp_path, rng):
