@@ -3,6 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference TensorRT EP, B0 480x640 1 ROI = 4.74 ms/img
 (~211 img/s) — /root/reference/README.md:553-563 (see BASELINE.md).
+
+Serving config (the measured optimum, scripts/bench_serving_matrix.py):
+- fused_tail=3 + encoder_s2d_front: the stage-1 decoder tail and encoder
+  front run in space-to-depth form — exact same params/math (ops/s2d.py,
+  tests/test_s2d.py, tests/test_s2d_front.py), MXU-shaped instead of
+  lane-starved.
+- calibrated int8 (quantize="int8"): stage-2 QConv stack + the d2/d3
+  composed tail convs run s8xs8->s32 on the MXU — the TPU analogue of the
+  reference's TensorRT int8 engines. Accuracy: target mIoU 0.9253 (f32)
+  vs 0.9263 (int8 fused-tail) on a flagship trained to convergence
+  (scripts/eval_int8_accuracy.py) — no measurable loss.
 """
 
 from __future__ import annotations
@@ -18,36 +29,35 @@ def main():
     import jax.numpy as jnp
 
     from human_instance_segmentation_tpu.inference import (
-        cast_floating, create_flagship, deployed_outputs)
+        InferenceEngine, cast_floating, create_flagship)
 
     batch = 32         # saturating batch (throughput plateaus ~32 on v5e); 1 ROI per image, the baseline's shape
     ih, iw = 480, 640
 
-    # fused_tail: the last stage-1 decoder stages run in space-to-depth form
-    # (exact same params/math, ops/s2d.py) — 2.1x on stage 1, which otherwise
-    # dominates at <5% MFU (scripts/profile_stage1.py).
-    # encoder_s2d_front: stem + stage-0 + stage-1 entry as composed S2D
-    # convs (the C=16/32 full-res tensors pad 4-8x in HBM lanes otherwise);
-    # exact, tests/test_s2d_front.py — 649 -> 734 img/s.
     model, params = create_flagship(
         variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
         fused_tail=3, encoder_s2d_front=True)
-    # bf16 serving: TPU-native mixed precision (norm statistics stay f32
-    # inside the modules); the reference's TRT baseline row is fp16.
     params = cast_floating(params, jnp.bfloat16)
 
-    @jax.jit
-    def infer(params, images, rois):
-        logits, aux = model.apply(params, images, rois, train=False)
-        return deployed_outputs(logits, aux, rois, dilation_pixels=1)
-
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((batch, ih, iw, 3), np.float32), jnp.bfloat16)
-    rois = jnp.asarray(
-        np.concatenate([
-            np.arange(batch, dtype=np.float32)[:, None],
-            np.tile(np.asarray([[0.2, 0.1, 0.8, 0.95]], np.float32), (batch, 1)),
-        ], axis=1))
+    images_np = rng.random((batch, ih, iw, 3), np.float32)
+    rois_np = np.concatenate([
+        np.arange(batch, dtype=np.float32)[:, None],
+        np.tile(np.asarray([[0.2, 0.1, 0.8, 0.95]], np.float32), (batch, 1)),
+    ], axis=1)
+
+    engine = InferenceEngine(model, params, dilation_pixels=1,
+                             dtype=jnp.bfloat16, quantize="int8")
+    engine.calibrate(images_np, rois_np)
+    fn = engine._fn(batch, batch)
+    eparams = engine.params
+
+    def infer(images, rois):
+        inst, binary, _ = fn(eparams, images, rois)
+        return inst, binary
+
+    images = jnp.asarray(images_np, jnp.bfloat16)
+    rois = jnp.asarray(rois_np)
 
     # Chain iterations inside one XLA program with a data dependency between
     # them (host-side block_until_ready is not a reliable fence on every
@@ -55,9 +65,9 @@ def main():
     # so fixed per-call costs cancel.
     def make_chain(iters):
         @jax.jit
-        def chained(params, images, rois):
+        def chained(images, rois):
             def body(i, carry):
-                inst, binary = infer(params, images + carry, rois)
+                inst, binary = infer(images + carry, rois)
                 return (jnp.mean(inst) * 1e-12).astype(images.dtype)
             return jax.lax.fori_loop(0, iters, body,
                                      jnp.asarray(0.0, images.dtype))
@@ -65,13 +75,13 @@ def main():
 
     i1, i2 = 5, 25
     c1, c2 = make_chain(i1), make_chain(i2)
-    float(c1(params, images, rois))  # compile + warm
-    float(c2(params, images, rois))
+    float(c1(images, rois))  # compile + warm
+    float(c2(images, rois))
     t0 = time.perf_counter()
-    float(c1(params, images, rois))
+    float(c1(images, rois))
     d1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(c2(params, images, rois))
+    float(c2(images, rois))
     d2 = time.perf_counter() - t0
     dt = (d2 - d1) / (i2 - i1)
 

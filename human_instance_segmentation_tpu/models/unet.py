@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.pallas_tail import TR as _TAIL_TR
 from ..ops.pallas_tail import tail_with_borders
-from ..ops.quant import QConv
+from ..ops.quant import QConv, calibrating, quant_enabled, static_scales
 from ..ops.s2d import (conv3x3_s2d, conv3x3_s2d_to_n4, conv3x3_strided_s2d,
                        conv_up_s2d, conv_up_s2d_nested, depth_to_space,
                        n4_regroup_to_s2d, n4_to_plain, tile_channel_params)
@@ -75,6 +75,27 @@ class _DecoderParams(nn.Module):
 def _bn_relu_s2d(y, scale, bias, mean, var, eps=1e-5):
     t = lambda v: tile_channel_params(v.astype(y.dtype))
     return jax.nn.relu((y - t(mean)) * jax.lax.rsqrt(t(var) + eps) * t(scale) + t(bias))
+
+
+def _tail_qscales(module, tags):
+    """Calibrated static int8 scales for a fused-tail module's quantization
+    points, keyed ``<module path>#<tag>`` (see ops/quant.py:collect_scales).
+    Returns {tag: float | None}; all-None outside int8 serving. Dynamic
+    (uncalibrated) int8 is deliberately NOT attempted here — measured to
+    lose throughput (the abs-max reduce is a full extra pass over high-res
+    tensors), so a missing scale leaves that conv in bf16."""
+    if not quant_enabled():
+        return {t: None for t in tags}
+    sc = static_scales()
+    if not sc:
+        return {t: None for t in tags}
+    p = "/".join(module.path)
+    return {t: sc.get(p + "#" + t) for t in tags}
+
+
+def _sow_amax(module, tag, x):
+    module.sow("calib", "amax_" + tag,
+               jnp.max(jnp.abs(x.astype(jnp.float32))))
 
 
 class DecoderBlock(nn.Module):
@@ -130,17 +151,29 @@ class DecoderBlock(nn.Module):
             k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
             s1, b1, m1, v1 = _BNParams(name="bn1")(self.features)
 
-            y = conv_up_s2d(x, k0[:, :, :cx])
+            if calibrating():
+                _sow_amax(self, "x", x)
+                if skip is not None:
+                    _sow_amax(self, "skip", skip)
+            from ..ops import quant as _quant
+            if self.features >= _quant.TAIL_QUANT_MIN_FEATURES:
+                qs = _tail_qscales(self, ("x", "skip", "mid"))
+            else:
+                qs = {"x": None, "skip": None, "mid": None}
+            y = conv_up_s2d(x, k0[:, :, :cx], qscale=qs["x"])
             if skip_is_s2d:
                 # S2D skip (encoder s2d_front): same full-res 3x3 conv math
                 # directly on the phase form
-                y = y + conv3x3_s2d(skip, k0[:, :, cx:])
+                y = y + conv3x3_s2d(skip, k0[:, :, cx:], qscale=qs["skip"])
             elif skip is not None:
                 # one 4x4 stride-2 conv straight off the full-res skip — no
                 # space_to_depth relayout (profile_fused_parts.py: ~3.7 ms)
-                y = y + conv3x3_strided_s2d(skip, k0[:, :, cx:])
+                y = y + conv3x3_strided_s2d(skip, k0[:, :, cx:],
+                                            qscale=qs["skip"])
             y = _bn_relu_s2d(y, s0, b0, m0, v0)
-            y = conv3x3_s2d(y, k1)
+            if calibrating():
+                _sow_amax(self, "mid", y)
+            y = conv3x3_s2d(y, k1, qscale=qs["mid"])
             return _bn_relu_s2d(y, s1, b1, m1, v1)
 
         if skip_is_s2d:  # unfused consumer: materialise the plain skip
@@ -198,13 +231,18 @@ class PeopleSegmentationUNet(nn.Module):
     pallas_tail: bool = False
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False, raw: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False, raw: bool = False,
+                 stages: int | None = None):
         """With ``raw=True`` returns ``(form, tensor)`` where form is
         ``"n4"`` (fused tail active: tensor is the nested-S2D(4) logits,
         (B, H/4, W/4, 16*classes) — see ops/s2d.py) or ``"plain"``
         ((B, H, W, classes)). The N4 form avoids ever materialising the
         full-resolution small-channel logit map, whose 128-lane padding
-        costs 8-32x its logical bytes in HBM."""
+        costs 8-32x its logical bytes in HBM.
+
+        ``stages`` (profiling only): return the intermediate activation
+        after the first ``stages`` decoder blocks (0 = encoder output) —
+        used to bisect in-context stage costs on hardware."""
         mean = jnp.asarray(self.normalize_mean, images.dtype)
         std = jnp.asarray(self.normalize_std, images.dtype)
         x = (images - mean) / std
@@ -220,6 +258,8 @@ class PeopleSegmentationUNet(nn.Module):
         # in S2D(2) phase form (consumed by the fused decoder directly)
         skips = list(feats[:-1])[::-1]  # s16, s8, s4, s2
         h = feats[-1]
+        if stages == 0:
+            return h
         n = len(self.decoder_channels)
         fused = 0 if train else self.fused_tail
         h_is_s2d = False
@@ -259,13 +299,21 @@ class PeopleSegmentationUNet(nn.Module):
                              input_s2d=input_s2d, skip_s2d=skip_s2d)(
                 h, skip, train=train)
             h_is_s2d = use_fused
+            if stages == i + 1:
+                return h
         if h_is_s2d:
             ch_last = h.shape[-1] // 4
             k, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch_last)
+            if calibrating():
+                _sow_amax(self, "head", h)
+            from ..ops import quant as _quant
+            qh = (_tail_qscales(self, ("head",))["head"]
+                  if ch_last >= _quant.TAIL_QUANT_MIN_FEATURES else None)
             if h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
                 # one strided conv -> nested S2D(4) logits; the C=classes
                 # full-res tensor (32x lane-padded on TPU) never exists
-                y4 = conv3x3_s2d_to_n4(h, k) + tile_channel_params(bsh.astype(h.dtype), 4)
+                y4 = conv3x3_s2d_to_n4(h, k, qscale=qh) + tile_channel_params(
+                    bsh.astype(h.dtype), 4)
                 if raw:
                     return "n4", y4
                 return n4_to_plain(y4, self.classes)

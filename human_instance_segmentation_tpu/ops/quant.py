@@ -34,6 +34,17 @@ from jax import lax
 
 _STATE = threading.local()
 
+# Composed S2D decoder-tail convs: int8 helps only where XLA's s8 conv
+# lowering stays MXU-shaped. Isolated (batch 32, v5e,
+# scripts/profile_tail_int8.py): decoder2 (60x80 grid, 64ch) 1.53 -> 1.00
+# ms; decoder3 (120x160, 32ch) 1.57 -> 1.82; decoder4 (240x320, 16ch)
+# 5.4 -> 16.5 — high-res small-channel s8 convs lower catastrophically.
+# End-to-end flagship int8 (bench_serving_matrix, ms/batch): no tail quant
+# 39.51; all stages 38.59; >=64 (d2 only) 39.09; >=32 (d2+d3) 37.99 — the
+# in-context economics differ from isolated (int8 stage boundaries halve
+# the inter-stage relayout bytes), and d2+d3 is the measured optimum.
+TAIL_QUANT_MIN_FEATURES = 32
+
 
 def quant_enabled() -> bool:
     return getattr(_STATE, "enabled", False)
@@ -88,15 +99,23 @@ class calibration:
 
 
 def collect_scales(calib_vars, margin: float = 1.0) -> dict:
-    """Flatten a ``calib`` variable collection into {path: scale} floats."""
+    """Flatten a ``calib`` variable collection into {path: scale} floats.
+
+    A leaf named ``amax`` keys the scale by its module path; a leaf named
+    ``amax_<tag>`` (modules with several quantization points, e.g. the fused
+    S2D decoder blocks) keys it by ``<module path>#<tag>``.
+    """
     flat = {}
 
     def walk(tree, path):
         for k, v in tree.items():
-            if k == "amax":
+            if k == "amax" or k.startswith("amax_"):
                 # flax sow appends a tuple per call
                 amax = max(float(x) for x in v) if isinstance(v, tuple) else float(v)
-                flat["/".join(path)] = max(amax * margin, 1e-6) / 127.0
+                key = "/".join(path)
+                if k != "amax":
+                    key = key + "#" + k[len("amax_"):]
+                flat[key] = max(amax * margin, 1e-6) / 127.0
             else:
                 walk(v, path + (k,))
 

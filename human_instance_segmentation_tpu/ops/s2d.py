@@ -61,13 +61,59 @@ def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
 
 
 def _conv(x, k, padding):
-    # Measured: int8-quantizing these decoder-tail convs LOSES throughput
-    # (649 -> 531 img/s flagship) — they are partially memory-bound and the
-    # quantize/abs-max passes over full-res tensors cost more than the MXU
-    # saves. Int8 serving therefore covers only the stage-2 QConv stack.
     return lax.conv_general_dilated(
         x, k.astype(x.dtype), (1, 1), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# --- int8 path (STATIC calibrated scales only) -----------------------------
+#
+# Dynamic per-call scales were measured to LOSE throughput here (649 -> 531
+# img/s flagship): the abs-max reduce + quantize are extra full passes over
+# the high-res tensors. With a static scale the round/clip/convert chain is
+# pure elementwise work that XLA fuses into the PRODUCER's epilogue (the
+# previous stage's bn+relu), so the bf16 intermediate is never written at
+# all when its only consumer is the quantized conv — the conv then reads
+# half the padded HBM bytes and runs s8xs8->s32 at twice the MXU rate.
+
+def quantize_static(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Symmetric round-to-nearest int8 with a static (trace-time) scale."""
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def _quantize_kernel(k: jnp.ndarray):
+    """Per-output-channel int8 kernel + f32 scale row (trace-time, tiny;
+    constant-folds under const-params serving)."""
+    kf = k.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(kf / sw), -127.0, 127.0).astype(jnp.int8)
+    return kq, sw
+
+
+def _dequant(x: jnp.ndarray, qscale, dtype) -> jnp.ndarray:
+    """int8 -> float for the (thin) float consumers of a quantized input."""
+    if x.dtype == jnp.int8:
+        return (x.astype(jnp.float32) * qscale).astype(dtype)
+    return x
+
+
+def _conv_q(x, K, strides, padding, qscale, out_dtype=None):
+    """NHWC conv; int8 compute when ``qscale`` is given. ``x`` may already
+    be int8 (quantized by the producer with the same scale)."""
+    if qscale is None:
+        return lax.conv_general_dilated(
+            x, K.astype(x.dtype), strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if out_dtype is None:
+        out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else K.dtype
+    xq = x if x.dtype == jnp.int8 else quantize_static(x, qscale)
+    kq, sw = _quantize_kernel(K)
+    y = lax.conv_general_dilated(
+        xq, kq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (jnp.float32(qscale) * sw)).astype(out_dtype)
 
 
 def expand_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
@@ -96,14 +142,16 @@ def expand_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def conv3x3_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray,
+                qscale: float | None = None) -> jnp.ndarray:
     """Full-res stride-1 3x3 conv (zero padding) applied in S2D(2) form.
 
     x_s2d: (B, Hc, Wc, 4*Ci); w: (3, 3, Ci, Co) -> (B, Hc, Wc, 4*Co).
     Exact: cell-space zero padding == full-res zero padding (an out-of-range
-    full-res tap always lands in an out-of-range cell).
+    full-res tap always lands in an out-of-range cell). With ``qscale``
+    (calibrated static input scale) the conv runs s8xs8->s32 on the MXU.
     """
-    return _conv(x_s2d, expand_kernel_s2d(w), "SAME")
+    return _conv_q(x_s2d, expand_kernel_s2d(w), (1, 1), "SAME", qscale)
 
 
 # 1-D composition tables: u[2i + s] as weights over x[i + delta], for the
@@ -254,7 +302,8 @@ def _border_correction_kernels(w: jnp.ndarray):
     return k_top, k_bot, k_left, k_right, corners
 
 
-def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray,
+                qscale: float | None = None) -> jnp.ndarray:
     """conv3x3(zero-pad, kernel w) of upsample_2x_bilinear(x), returned in
     S2D(2) form on x's own grid, without materialising the upsample.
 
@@ -268,23 +317,38 @@ def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     masked-add/select pass. This replaces the v2 strip recompute whose
     thin-slice layouts cost ~6 ms/batch at decoder-4 shapes
     (scripts/profile_d4.py); all variants are bit-identical in f32.
+
+    With ``qscale`` the main composed conv runs int8 (``x`` may arrive
+    pre-quantized); the border/corner corrections — thin 2-row/col slabs —
+    stay in float, computed from the dequantized edge slices so they correct
+    exactly the map the int8 interior approximates.
     """
     b, h, wd, ci = x.shape
     if h < 4 or wd < 4:
-        return _conv_up_s2d_strips(x, w)
+        return _conv_up_s2d_strips(_dequant(x, qscale, w.dtype), w)
     K = compose_up_conv_kernel(w)
-    y = _conv(x, K, "SAME")  # wrong only in cell rows/cols 0 and -1
+    y = _conv_q(x, K, (1, 1), "SAME", qscale)  # wrong only in cell rows/cols 0 and -1
 
     k_top, k_bot, k_left, k_right, corners = _border_correction_kernels(w)
     co4 = y.shape[-1]
 
-    corr_top = _conv(x[:, :2], k_top, ((0, 0), (1, 1)))       # (B, 1, Wc, 4Co)
-    corr_bot = _conv(x[:, -2:], k_bot, ((0, 0), (1, 1)))
-    corr_left = _conv(x[:, :, :2], k_left, ((1, 1), (0, 0)))  # (B, Hc, 1, 4Co)
-    corr_right = _conv(x[:, :, -2:], k_right, ((1, 1), (0, 0)))
+    xe = (x if qscale is None else
+          {"t": _dequant(x[:, :2], qscale, y.dtype),
+           "b": _dequant(x[:, -2:], qscale, y.dtype),
+           "l": _dequant(x[:, :, :2], qscale, y.dtype),
+           "r": _dequant(x[:, :, -2:], qscale, y.dtype)})
+    xt = x[:, :2] if qscale is None else xe["t"]
+    xb = x[:, -2:] if qscale is None else xe["b"]
+    xl = x[:, :, :2] if qscale is None else xe["l"]
+    xr = x[:, :, -2:] if qscale is None else xe["r"]
 
-    cs = [jnp.einsum("bijc,ijco->bo", sl, ck.astype(x.dtype)) for sl, ck in zip(
-        (x[:, :2, :2], x[:, :2, -2:], x[:, -2:, :2], x[:, -2:, -2:]), corners)]
+    corr_top = _conv(xt, k_top, ((0, 0), (1, 1)))       # (B, 1, Wc, 4Co)
+    corr_bot = _conv(xb, k_bot, ((0, 0), (1, 1)))
+    corr_left = _conv(xl, k_left, ((1, 1), (0, 0)))  # (B, Hc, 1, 4Co)
+    corr_right = _conv(xr, k_right, ((1, 1), (0, 0)))
+
+    cs = [jnp.einsum("bijc,ijco->bo", sl, ck.astype(y.dtype)) for sl, ck in zip(
+        (xt[:, :, :2], xt[:, :, -2:], xb[:, :, :2], xb[:, :, -2:]), corners)]
 
     row_ix = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
     col_ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wd, 1), 2)
@@ -439,7 +503,8 @@ def n4_regroup_to_s2d(y_n4: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, 2 * hc, 2 * wc, c4)
 
 
-def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray,
+                        qscale: float | None = None) -> jnp.ndarray:
     """Full-res stride-1 3x3 conv (zero pad) of a FULL-RES input, output in
     S2D(2) form — as one 4x4 stride-2 conv, so the input never goes through
     a space_to_depth relayout (measured ~3.7 ms at decoder-3 skip shapes).
@@ -456,12 +521,11 @@ def conv3x3_strided_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                 for dx in (-1, 0, 1):
                     W = W.at[ay + dy + 1, ax + dx + 1, :,
                              (ay * 2 + ax) * co:(ay * 2 + ax + 1) * co].set(w[dy + 1, dx + 1])
-    return lax.conv_general_dilated(
-        x, W.astype(x.dtype), (2, 2), ((1, 2), (1, 2)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _conv_q(x, W, (2, 2), ((1, 2), (1, 2)), qscale)
 
 
-def conv3x3_s2d_to_n4(h_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_s2d_to_n4(h_s2d: jnp.ndarray, w: jnp.ndarray,
+                      qscale: float | None = None) -> jnp.ndarray:
     """Full-res stride-1 3x3 conv of an S2D(2) input, output in *nested* S2D(4)
     ("N4") form on a grid coarsened by another 2x — one strided conv, so no
     small-channel full-res tensor is ever materialised.
@@ -490,9 +554,7 @@ def conv3x3_s2d_to_n4(h_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                 for dx in (-1, 0, 1):
                     W = W.at[u + dy + 1, v + dx + 1, :,
                              (u * 2 + v) * co4:(u * 2 + v + 1) * co4].set(k_cell[dy + 1, dx + 1])
-    return lax.conv_general_dilated(
-        h_s2d, W.astype(h_s2d.dtype), (2, 2), ((1, 2), (1, 2)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _conv_q(h_s2d, W, (2, 2), ((1, 2), (1, 2)), qscale)
 
 
 def n4_to_plain(y: jnp.ndarray, classes: int = 1) -> jnp.ndarray:

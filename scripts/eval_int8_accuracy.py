@@ -56,13 +56,13 @@ def main():
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def target_miou(apply_ctx):
+    def target_miou(apply_ctx, m=model):
         inter = union = 0.0
         for batch in batch_iterator(ds, batch_size=4, shuffle=False, seed=0):
             rois = rois_from_boxes(batch["boxes"])
             with apply_ctx() if apply_ctx else _null():
-                logits, _ = model.apply(variables, batch["images"], rois,
-                                        train=False)
+                logits, _ = m.apply(variables, batch["images"], rois,
+                                    train=False)
             b, k = batch["boxes"].shape[:2]
             mh, mw = batch["masks"].shape[-2:]
             targets = batch["masks"].reshape(b * k, mh, mw)
@@ -96,9 +96,31 @@ def main():
             break
 
     miou_q = target_miou(lambda: int8_serving(scales=scales))
-    print(f"target IoU  bf32 serving: {miou_f:.4f}")
+    print(f"target IoU  f32 serving:  {miou_f:.4f}")
     print(f"target IoU  int8 serving: {miou_q:.4f}")
     print(f"delta: {miou_q - miou_f:+.4f}")
+
+    # Serving-form model (fused S2D tail): same parameter tree, and its
+    # int8 path additionally quantizes the composed decoder-tail convs
+    # (ops/s2d.py) — calibrate THROUGH the fused form so the tail's
+    # amax_<tag> points are recorded.
+    serve = model.clone(fused_tail=3)
+    miou_sf = target_miou(None, m=serve)
+    tail_scales = None
+    for i, batch in enumerate(batch_iterator(ds, batch_size=4, shuffle=False, seed=0)):
+        with calibration():
+            _, cv = serve.apply(variables, batch["images"],
+                                rois_from_boxes(batch["boxes"]),
+                                train=False, mutable=["calib"])
+        s = collect_scales(jax.tree.map(float, cv["calib"]))
+        tail_scales = s if tail_scales is None else merge_scales(tail_scales, s)
+        if i >= 1:
+            break
+    miou_sq = target_miou(lambda: int8_serving(scales=tail_scales), m=serve)
+    print(f"target IoU  f32 fused-tail serving:  {miou_sf:.4f} "
+          f"(exactness check vs plain: {miou_sf - miou_f:+.5f})")
+    print(f"target IoU  int8 fused-tail serving: {miou_sq:.4f}")
+    print(f"delta vs f32: {miou_sq - miou_f:+.4f}")
 
 
 if __name__ == "__main__":

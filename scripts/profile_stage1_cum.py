@@ -1,0 +1,81 @@
+"""Cumulative in-context stage-1 timing: encoder, then +decoder0..4, +head.
+
+Isolated per-block timings (profile_decoders.py) sum to ~11.6 ms while the
+in-context stage-1 measures ~17.8 ms (batch-32 bf16, fused tail + s2d
+front); the deltas between successive cumulative graphs attribute the gap
+to real stage boundaries (XLA fuses/schedules differently when the producer
+is the true previous stage rather than a synthesized buffer).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_stage1_cum.py [k ...]
+k: 0..5 = encoder + k decoder stages; "full" = raw n4 output (whole stage 1)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from human_instance_segmentation_tpu.inference import cast_floating, create_flagship
+from human_instance_segmentation_tpu.models.unet import PeopleSegmentationUNet
+
+
+def time_slope(fn, *args, perturb=1, i1=4, i2=16):
+    def mk(iters):
+        @jax.jit
+        def chained(*a):
+            def body(i, carry):
+                ai = list(a)
+                ai[perturb] = ai[perturb] + carry.astype(ai[perturb].dtype)
+                out = fn(*ai)
+                return sum((jnp.sum(l) * 1e-30).astype(jnp.float32)
+                           for l in jax.tree.leaves(out))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return chained
+
+    c1, c2 = mk(i1), mk(i2)
+    float(c1(*args)); float(c2(*args))
+    best = []
+    for _ in range(3):
+        t0 = time.perf_counter(); float(c1(*args)); d1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(c2(*args)); d2 = time.perf_counter() - t0
+        best.append((d2 - d1) / (i2 - i1))
+    return min(best)
+
+
+def main():
+    sel = sys.argv[1:] or ["0", "1", "2", "3", "4", "5", "full"]
+    b, ih, iw = 32, 480, 640
+    _, params = create_flagship(
+        variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+        image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True)
+    params = cast_floating(params, jnp.bfloat16)
+    unet = PeopleSegmentationUNet(encoder_variant="b0", fused_tail=3,
+                                  encoder_s2d_front=True)
+    uparams = {
+        "params": params["params"]["pretrained_unet"],
+        "batch_stats": params["batch_stats"]["pretrained_unet"],
+    }
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((b, ih, iw, 3), np.float32), jnp.bfloat16)
+
+    prev = None
+    for item in sel:
+        if item == "full":
+            fn = lambda up, x: unet.apply(up, x, train=False, raw=True)[1]
+            label = "full (raw n4)"
+        else:
+            k = int(item)
+            fn = lambda up, x, _k=k: unet.apply(up, x, train=False, stages=_k)
+            label = f"enc + {item} dec stages"
+        t = time_slope(fn, uparams, images) * 1e3
+        delta = "" if prev is None else f"  (+{t - prev:6.3f})"
+        print(f"{label:22s} {t:8.3f} ms/b{delta}", flush=True)
+        prev = t
+
+
+if __name__ == "__main__":
+    main()
