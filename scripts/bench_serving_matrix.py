@@ -73,11 +73,26 @@ def main():
         "fused_head": dict(fused_head=True),
         "const": dict(const_params=True),
         "int8+const": dict(quantize="int8", const_params=True),
+        "int8+fused": dict(quantize="int8", fused_head=True),
     }
 
+    def model_for(mode):
+        # encoder Pallas-fused-MBConv variants share the parameter tree, so
+        # the same params serve every model build
+        if "enc" in mode:
+            n = int(mode.rsplit("enc", 1)[1])
+            from human_instance_segmentation_tpu.models.assembly import (
+                HierarchicalInstanceSegmenter)
+            return HierarchicalInstanceSegmenter(
+                encoder_variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+                image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
+                encoder_fused_blocks=n)
+        return model
+
     for mode in modes:
-        kw = engines[mode]
-        eng = InferenceEngine(model, params, dilation_pixels=1,
+        base_mode = mode.split("+enc")[0]  # "int8+enc3" -> engine kw of "int8"
+        kw = dict(engines[base_mode]) if base_mode in engines else {}
+        eng = InferenceEngine(model_for(mode), params, dilation_pixels=1,
                               dtype=jnp.bfloat16, **kw)
         if kw.get("quantize"):
             eng.calibrate(np.asarray(images, np.float32), np.asarray(rois))

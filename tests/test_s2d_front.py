@@ -49,6 +49,7 @@ def test_mbconv_s2d_exit_matches_plain(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_s2d_front_matches_plain(rng):
     x = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
     plain = EfficientNetEncoder(variant="b0")
@@ -67,6 +68,7 @@ def test_encoder_s2d_front_matches_plain(rng):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_s2d_front_matches_plain(rng):
     """Full stage-1 UNet: s2d_front + fused tail == plain path, same tree."""
     images = jnp.asarray(rng.random((1, 64, 96, 3)), jnp.float32)

@@ -70,6 +70,7 @@ def test_quantized_conv_accepts_prequantized_int8_input():
     assert y_pre.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_int8_fused_tail_end_to_end_close(monkeypatch):
     """Calibrate a real fused-tail UNet, serve int8, compare to float."""
     from human_instance_segmentation_tpu.ops import quant as quant_mod
