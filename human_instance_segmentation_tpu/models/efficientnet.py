@@ -184,16 +184,19 @@ class MBConv(nn.Module):
         from jax import lax
 
         from ..ops.pallas_mbconv import fold_bn
-        from ..ops.s2d import (conv1x1_kernel_s2d, dw_kernel_s2d,
-                               dw_stride2_exit_kernel_s2d)
+        from ..ops.s2d import (conv1x1_kernel_s2d, dw5_stride2_exit_kernel_s2d,
+                               dw_kernel_s2d, dw_stride2_exit_kernel_s2d,
+                               dw_stride2_s2d_kernel)
 
-        assert self.kernel == 3, "S2D MBConv path supports k=3 blocks"
+        assert self.kernel == 3 or (self.kernel == 5 and self.stride == 2
+                                    and not self.s2d_out), \
+            "S2D MBConv path: k=3 blocks, or a k=5 s2 plain-exit block"
         dt = x.dtype
         in_ch = x.shape[-1] // 4
         mid = in_ch * self.expand_ratio
         f32 = jnp.float32
-        conv = lambda h, k, pad="SAME": lax.conv_general_dilated(
-            h, k.astype(dt), (1, 1), pad,
+        conv = lambda h, k, pad="SAME", s=1: lax.conv_general_dilated(
+            h, k.astype(dt), (s, s), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         t4 = lambda v: jnp.tile(v, 4).astype(dt)
 
@@ -204,12 +207,20 @@ class MBConv(nn.Module):
             kes = conv1x1_kernel_s2d(ke.astype(f32) * g0[None, None, None])
             h = jax.nn.silu(conv(h, kes) + t4(b0))
 
-        kdw, _ = _ConvKernel((3, 3, 1, mid), name="dw_conv")()
+        kdw, _ = _ConvKernel((self.kernel, self.kernel, 1, mid), name="dw_conv")()
         g1, b1 = fold_bn(*_BNParams(name="bn1")(mid))
         kdwf = kdw.astype(f32) * g1[None, None, None]
-        if self.s2d_out:
-            assert self.stride == 1
+        if self.s2d_out and self.stride == 1:
             d = jax.nn.silu(conv(h, dw_kernel_s2d(kdwf)) + t4(b1))
+        elif self.s2d_out:
+            # stride-2 k3 staying in S2D form: output is the S2D(2) form of
+            # the half-res map (cell grid must be even; encoder gates on %8)
+            d = conv(h, dw_stride2_s2d_kernel(kdwf), pad=((0, 1), (0, 1)), s=2)
+            d = jax.nn.silu(d + t4(b1))
+        elif self.kernel == 5:
+            # k5 s2 exit to the plain half-res map (stage-2 entry)
+            d = conv(h, dw5_stride2_exit_kernel_s2d(kdwf))
+            d = jax.nn.silu(d + b1.astype(dt))
         else:
             assert self.stride == 2
             d = conv(h, dw_stride2_exit_kernel_s2d(kdwf),
@@ -332,6 +343,12 @@ class EfficientNetEncoder(nn.Module):
                 stride = s if j == 0 else 1
                 # S2D coverage: all of stage 0 (k3 s1) in-form; stage 1's
                 # entry block (k3 s2) exits to the plain half-res map.
+                # Extending in-form through stage 1/2 (dw_stride2_s2d_kernel
+                # + dw5_stride2_exit_kernel_s2d, both exact) was MEASURED
+                # SLOWER (27.2 -> 32.3 ms/batch-32 stage 1): the dense
+                # phase-expanded depthwise costs O((4*mid)^2) FLOPs, a
+                # ~1 TFLOP bomb at stage-1's mid=144. Coverage stops where
+                # the composed kernels stay cheap.
                 blk_s2d = s2d and (stage_i == 0 or (stage_i == 1 and j == 0))
                 h = MBConv(
                     out_channels=out_ch,

@@ -659,3 +659,56 @@ def dw_stride2_exit_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(c, dtype=w.dtype)
     k2 = jnp.einsum("klijc,cd->klijcd", a, eye)
     return k2.reshape(2, 2, 4 * c, c)
+
+
+def dw_stride2_s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise SAME s2 3x3 kernel (3, 3, 1, C) consuming an S2D(2) input
+    -> a (3, 3, 4C, 4C) STRIDE-2 kernel (explicit padding (0, 1)) whose
+    output is the S2D(2) form of the half-res output map.
+
+    Output cell Y phase go = half-res row 2Y+go, which taps full-res rows
+    [2(2Y+go), 2(2Y+go)+3) = input cells 2Y+k (k in 0..2) phase gi where
+    the full-res tap index d satisfies d = 2k + gi - 2*go, 0 <= d < 3.
+    The cell grid must be even (full-res extent % 4 == 0)."""
+    import numpy as np
+    c = w.shape[-1]
+    wf = w[:, :, 0]
+    S = np.zeros((3, 2, 2, 3), np.float32)   # [k, gi, go, d]
+    for k in range(3):
+        for gi in range(2):
+            for go in range(2):
+                d = 2 * k + gi - 2 * go
+                if 0 <= d < 3:
+                    S[k, gi, go, d] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    # (3, 3, gi, go, gxi, gxo, C)
+    a = jnp.einsum("kipd,ljqe,dec->klipjqc", Sj, Sj, wf)
+    eye = jnp.eye(c, dtype=w.dtype)
+    # in block (gi, gxi, ci), out block (go, gxo, co)
+    k4 = jnp.einsum("klipjqc,cd->klijcpqd", a, eye)
+    return k4.reshape(3, 3, 4 * c, 4 * c)
+
+
+def dw5_stride2_exit_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise SAME s2 5x5 kernel (5, 5, 1, C) consuming an S2D(2) input
+    -> a (3, 3, 4C, C) stride-1 SAME kernel on the cell grid whose output
+    is the PLAIN half-res map.
+
+    TF-SAME k5 s2 on an even extent pads (1, 2): out row O taps full-res
+    rows [2O-1, 2O+4) = input cells O-1..O+1 (k in 0..2) phase gi where
+    the tap index d = 2k + gi - 1, 0 <= d < 5. A zero cell reproduces the
+    zero full-res rows exactly (row -2 is never tapped)."""
+    import numpy as np
+    c = w.shape[-1]
+    wf = w[:, :, 0]
+    S = np.zeros((3, 2, 5), np.float32)      # [k, gi, d]
+    for k in range(3):
+        for gi in range(2):
+            d = 2 * k + gi - 1
+            if 0 <= d < 5:
+                S[k, gi, d] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    a = jnp.einsum("kid,lje,dec->klijc", Sj, Sj, wf)   # (3,3,gi,gxi,C)
+    eye = jnp.eye(c, dtype=w.dtype)
+    k3 = jnp.einsum("klijc,cd->klijcd", a, eye)
+    return k3.reshape(3, 3, 4 * c, c)

@@ -49,6 +49,34 @@ def test_mbconv_s2d_exit_matches_plain(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_mbconv_s2d_stride2_inform_matches_plain(rng):
+    """Stride-2 k3 block staying in S2D form (stage-1 entry, extended
+    front): output is the S2D(2) form of the plain half-res output."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    plain = MBConv(out_channels=12, expand_ratio=6, kernel=3, stride=2)
+    s2d = MBConv(out_channels=12, expand_ratio=6, kernel=3, stride=2,
+                 s2d_in=True, s2d_out=True)
+    params = plain.init(jax.random.PRNGKey(0), x, train=False)
+    a = plain.apply(params, x, train=False)
+    b = s2d.apply(params, space_to_depth(x, 2), train=False)
+    np.testing.assert_allclose(np.asarray(depth_to_space(b, 2)),
+                               np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_mbconv_s2d_k5_exit_matches_plain(rng):
+    """Stride-2 k5 expand block (stage-2 entry): S2D in, plain out."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    plain = MBConv(out_channels=10, expand_ratio=6, kernel=5, stride=2)
+    s2d = MBConv(out_channels=10, expand_ratio=6, kernel=5, stride=2,
+                 s2d_in=True, s2d_out=False)
+    params = plain.init(jax.random.PRNGKey(0), x, train=False)
+    a = plain.apply(params, x, train=False)
+    b = s2d.apply(params, space_to_depth(x, 2), train=False)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_encoder_s2d_front_matches_plain(rng):
     x = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
