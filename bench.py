@@ -14,6 +14,10 @@ Serving config (the measured optimum, scripts/bench_serving_matrix.py):
   reference's TensorRT int8 engines. Accuracy: target mIoU 0.9253 (f32)
   vs 0.9263 (int8 fused-tail) on a flagship trained to convergence
   (scripts/eval_int8_accuracy.py) — no measurable loss.
+- fused_head=True: stage-2 conv+LayerNorm2d+relu units that stay bf16
+  (int8 takes precedence where calibrated) run through the Pallas fused
+  kernel; measured 38.0 vs 39.3 ms/batch on top of int8
+  (scripts/bench_serving_matrix.py "int8+fused").
 """
 
 from __future__ import annotations
@@ -47,7 +51,8 @@ def main():
     ], axis=1)
 
     engine = InferenceEngine(model, params, dilation_pixels=1,
-                             dtype=jnp.bfloat16, quantize="int8")
+                             dtype=jnp.bfloat16, quantize="int8",
+                             fused_head=True)
     engine.calibrate(images_np, rois_np)
     fn = engine._fn(batch, batch)
     eparams = engine.params
