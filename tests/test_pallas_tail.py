@@ -43,9 +43,14 @@ def test_tail_matches_plain_path(rng, hc, wc):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tail_unet_integration(rng):
     """PeopleSegmentationUNet(pallas_tail=True) == the fused XLA path, with
-    an identical parameter tree (checkpoints swap between the two freely)."""
+    an identical parameter tree (checkpoints swap between the two freely).
+
+    Slow tier: ~160 s of CPU compile on the 1-core host; the parametrized
+    test_tail_matches_plain_path above keeps the kernel exactness in the
+    fast tier."""
     from human_instance_segmentation_tpu.models.unet import PeopleSegmentationUNet
 
     images = jnp.asarray(rng.random((1, 64, 96, 3)), jnp.float32)

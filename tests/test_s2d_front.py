@@ -113,6 +113,7 @@ def test_unet_s2d_front_matches_plain(rng):
                                atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_s2d_front_unfused_decoder_fallback(rng):
     """s2d_front with fused_tail=0: the S2D stem tap is materialised for
     the unfused decoder and the output still matches the plain path."""
