@@ -42,7 +42,11 @@ _STATE = threading.local()
 # there (0.99 vs 0.71 ms) and at every mask-resolution / low-channel
 # shape. It WINS only at tiny-spatial high-channel shapes where XLA's
 # conv tiling degrades — 16x12x384: 1.66x. The int8 path has different
-# economics (2x MXU rate + norm for free) and is gated by the caller.
+# economics (2x MXU rate + norm for free) and is gated by the caller —
+# but probing the int8 kernel at the full 64x48x256 ROI shape (3072
+# pixels) also LOSES: 0.611 ms/unit vs 0.385 for XLA qconv+LN+relu with
+# static scales, which already runs near the int8 roofline there. Do not
+# widen _MAX_FUSED_PIXELS for the quantized path.
 # Constants are module-level so tests can patch.
 _MIN_FUSED_CH = 256
 _MAX_FUSED_PIXELS = 512
