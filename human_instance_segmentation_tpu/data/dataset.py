@@ -88,7 +88,13 @@ class COCOInstanceSegmentationDataset:
                     continue
                 valid.append(ann["id"])
             if valid:
-                self.samples.append((img_id, valid[: cfg.max_instances_per_image]))
+                # Keep EVERY valid annotation: the K-slot target selection in
+                # __getitem__ rotates by epoch, so images with more instances
+                # than the bucket still train on all of them over time
+                # (reference semantics: one sample per annotation,
+                # dataset.py:15-60 — here the rotation restores full target
+                # coverage without giving up per-image grouping).
+                self.samples.append((img_id, valid))
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -135,7 +141,15 @@ class COCOInstanceSegmentationDataset:
         masks = np.zeros((k, mh, mw), np.int32)
         valid = np.zeros((k,), np.float32)
 
-        chosen = list(range(len(anns)))[:k]
+        # Per-epoch target rotation: epoch e takes the K-window starting at
+        # (e * k) mod n, so every annotation becomes a target once every
+        # ceil(n / k) epochs instead of instances beyond the first K being
+        # silently untrainable. Deterministic (same window on every worker
+        # thread) and a no-op for images with <= K instances.
+        k_eff = min(k, self.cfg.max_instances_per_image)
+        n_anns = len(anns)
+        start = (self._epoch * k_eff) % n_anns
+        chosen = [(start + j) % n_anns for j in range(min(k_eff, n_anns))]
         for slot, ti in enumerate(chosen):
             x1, y1, x2, y2 = self._roi_box_pixels(anns[ti]["bbox"], sx, sy)
             roi = np.zeros((y2 - y1, x2 - x1), np.uint8)

@@ -54,6 +54,8 @@ def main():
     superbatches = {n: stack_batches([mk() for _ in range(n)])
                     for n in (I1, I2)}
 
+    REPEATS = 4  # median-of-N per scan length: single samples are too
+    # noise-sensitive on the tunnelled-chip transport for a slope of two
     results = {}
     for dtype in (None, "bfloat16"):
         times = {}
@@ -63,17 +65,22 @@ def main():
                 donate=False, compute_dtype=dtype)
             sb = jax.device_put(superbatches[iters])
             state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
-            _, m = step(state, sb)          # compile + warm
-            fence = float(m["total_loss"])  # host round-trip as fence
-            t0 = time.perf_counter()
-            _, m = step(state, sb)
-            fence = float(m["total_loss"])
-            times[iters] = time.perf_counter() - t0
+            _, m = step(state, sb)              # compile + warm
+            _ = float(m["total_loss"])          # host round-trip as fence
+            samples = []
+            for _rep in range(REPEATS):
+                t0 = time.perf_counter()
+                _, m = step(state, sb)
+                fence = float(m["total_loss"])
+                samples.append(time.perf_counter() - t0)
+            times[iters] = float(np.median(samples))
         ms = (times[I2] - times[I1]) / (I2 - I1) * 1e3
         key = dtype or "float32"
+        # sanity_loss: NaN check only — the inputs are synthetic uniform
+        # masks with identical boxes, so the value itself is meaningless
         results[key] = {"ms_per_step": round(ms, 2),
                         "imgs_per_sec": round(B / (ms / 1e3), 1),
-                        "last_loss": round(fence, 4)}
+                        "sanity_loss": round(fence, 4)}
         print(json.dumps({"dtype": key, **results[key]}))
 
     if "bfloat16" in results and "float32" in results:

@@ -99,6 +99,50 @@ def test_instance_dataset_sample(synthetic_coco, image_dir):
     assert set(np.unique(s["masks"][:2])) <= {0, 1, 2}
 
 
+def test_target_rotation_by_epoch(image_dir):
+    """An image with more instances than the K bucket trains on DIFFERENT
+    target sets across epochs (reference semantics: one sample per
+    annotation, dataset.py:15-60; here restored via set_epoch rotation)."""
+    from PIL import Image
+
+    f = sorted(image_dir.glob("*.jpg"))[0]
+    w, h = Image.open(f).size
+    annotations = []
+    for j in range(5):  # 5 instances, K = 2
+        box = [5 + 20 * j, 10, 18, 60]
+        x, y, bw, bh = box
+        annotations.append({
+            "id": j + 1, "image_id": 1, "category_id": 1,
+            "bbox": box, "area": bw * bh, "iscrowd": 0,
+            "segmentation": [[x, y, x + bw, y, x + bw, y + bh, x, y + bh]],
+        })
+    coco = COCOIndex({
+        "images": [{"id": 1, "file_name": f.name, "width": w, "height": h}],
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}]})
+    cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
+                        rois_per_image=2, min_roi_size=4)
+    ds = COCOInstanceSegmentationDataset(coco, str(image_dir), cfg)
+
+    seen_boxes = set()
+    per_epoch = []
+    for epoch in range(3):
+        ds.set_epoch(epoch)
+        s = ds[0]
+        assert s["valid"].tolist() == [1.0, 1.0]
+        keys = tuple(tuple(np.round(b, 4)) for b in s["boxes"])
+        per_epoch.append(keys)
+        seen_boxes.update(keys)
+    # epochs rotate: consecutive epochs pick different target windows,
+    # and three epochs of K=2 cover more than one window's worth
+    assert per_epoch[0] != per_epoch[1]
+    assert len(seen_boxes) >= 5
+    # rotation is deterministic: same epoch -> same targets
+    ds.set_epoch(1)
+    s = ds[0]
+    assert tuple(tuple(np.round(b, 4)) for b in s["boxes"]) == per_epoch[1]
+
+
 def test_instance_dataset_batching(synthetic_coco, image_dir):
     cfg = DatasetConfig(image_size=(96, 128), mask_size=(32, 24),
                         rois_per_image=4, min_roi_size=4)
