@@ -115,6 +115,11 @@ class TrainingConfig:
     # Staged freezing: epoch -> stage flags (staged_training.py:10-242);
     # keys: freeze_pretrained / freeze_rgb_extractor / freeze_head / lr_scale
     stage_schedule: Dict[int, Dict[str, Any]] = field(default_factory=dict)
+    # Progressive feature activation: feature name -> activation epoch
+    # (experiments/progressive_training.py:12-66). The parameter tree stays
+    # static; scheduled features' LOSS terms switch on at their epoch
+    # (training/progressive.py). Keys: see progressive.FEATURE_FLAGS.
+    feature_schedule: Dict[str, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -380,6 +385,21 @@ def _build_registry() -> Dict[str, ExperimentConfig]:
         use_full_image_unet=True, freeze_pretrained_weights=True,
         use_distance_transform=True, use_contour_detection=True,
         use_boundary_aware_loss=True, hierarchical_base_channels=96)
+
+    # Progressive feature activation on the flagship: refinement loss terms
+    # switch on at scheduled epochs (the reference's base_epochs=10 default
+    # ladder, experiments/progressive_training.py:29-36) while the model —
+    # and therefore the parameter tree — stays fixed from step 0.
+    pname = base_name + "_progressive"
+    pcfg = _base_v2(
+        pname, (64, 48), (64, 48), use_pretrained_unet=True,
+        use_full_image_unet=True, freeze_pretrained_weights=True,
+        use_distance_transform=True, use_contour_detection=True,
+        use_boundary_aware_loss=True, hierarchical_base_channels=96)
+    pcfg.training.feature_schedule = {
+        "contour_detection": 10, "distance_transform": 20,
+        "boundary_aware": 30}
+    r[pname] = pcfg
 
     # Full-image family grid: exact reference name set (capital-B arch tags,
     # config_manager.py fullimage block) plus lowercase aliases for CLI

@@ -164,14 +164,41 @@ _A = {
     2: {0: 0.25, 1: 0.75},
 }
 
+# Same table for NEAREST upsampling (u[2i+s] = x[i + floor(s/2)]) — the smp
+# UnetDecoder default (F.interpolate(scale_factor=2, mode="nearest"), which
+# the reference's frozen stage-1 checkpoints were trained with). Unlike
+# bilinear there is no edge clamp: an out-of-range full-res tap maps to an
+# out-of-range LOW-res cell, so cell-space zero padding is exact everywhere
+# and the composed conv needs NO border corrections.
+_A_NEAREST = {
+    -1: {-1: 1.0},
+    0: {0: 1.0},
+    1: {0: 1.0},
+    2: {1: 1.0},
+}
 
-def compose_up_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """Fold upsample_2x_bilinear into a following 3x3 conv.
+_UP_TABLES = {"bilinear": _A, "nearest": _A_NEAREST}
+
+
+def upsample_2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, 2W, C), torch F.interpolate(mode='nearest')."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _upsample(x: jnp.ndarray, mode: str) -> jnp.ndarray:
+    if mode == "nearest":
+        return upsample_2x_nearest(x)
+    return upsample_2x_bilinear(x)
+
+
+def compose_up_conv_kernel(w: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
+    """Fold a 2x upsample (bilinear or nearest) into a following 3x3 conv.
 
     w: (3, 3, Ci, Co) -> K: (3, 3, Ci, 4*Co) over the LOW-res grid, where
     output channel block (ay*2 + ax) is full-res phase (ay, ax):
         y[2i+ay, 2j+ax] = sum_d w[d] u[2i+ay+d] = sum_delta K[delta] x[i+delta]
     """
+    table = _UP_TABLES[mode]
     co = w.shape[3]
     blocks = []
     for ay in range(2):
@@ -179,9 +206,9 @@ def compose_up_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
             ky = np.zeros((3, 3), np.float64)  # (d+1, delta+1) y-axis factor
             kx = np.zeros((3, 3), np.float64)
             for d in (-1, 0, 1):
-                for delta, wt in _A[ay + d].items():
+                for delta, wt in table[ay + d].items():
                     ky[d + 1, delta + 1] += wt
-                for delta, wt in _A[ax + d].items():
+                for delta, wt in table[ax + d].items():
                     kx[d + 1, delta + 1] += wt
             k = jnp.einsum("yxio,yY,xX->YXio", w.astype(jnp.float32),
                            jnp.asarray(ky, jnp.float32), jnp.asarray(kx, jnp.float32))
@@ -189,7 +216,8 @@ def compose_up_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=-1)  # (3, 3, Ci, 4*Co)
 
 
-def _conv_up_s2d_strips(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _conv_up_s2d_strips(x: jnp.ndarray, w: jnp.ndarray,
+                        mode: str = "bilinear") -> jnp.ndarray:
     """Strip-recompute variant of :func:`conv_up_s2d` (v2).
 
     Exact but slow on TPU: the four 2-pixel strips are thin-slice ops with
@@ -198,11 +226,11 @@ def _conv_up_s2d_strips(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     cells on a side, where v3's border/corner regions overlap) and as the
     oracle in tests.
     """
-    K = compose_up_conv_kernel(w)
+    K = compose_up_conv_kernel(w, mode)
     y = _conv(x, K, "SAME")  # wrong only in cell rows/cols 0 and -1
 
     def strip(xs):  # plain path on a small strip: upsample then SAME conv
-        return _conv(upsample_2x_bilinear(xs), w, "SAME")
+        return _conv(_upsample(xs, mode), w, "SAME")
 
     # Exact border cell rows/cols, all four phases. Within each 2-pixel
     # strip the taken rows/cols only consume upsample values that the strip

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import argparse
 import time
-from typing import Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -144,7 +144,21 @@ def run_training(
 
     # Loss fully config-driven: ce/dice/focal weights, data_stats class
     # weights, refinement flags, DistanceLossConfig (VERDICT r1 item 7).
-    loss_cfg = loss_config_from_experiment(cfg)
+    # With a feature_schedule, scheduled loss features start disabled and
+    # switch on at their activation epoch (progressive_training.py:12-66;
+    # the model/parameter tree never changes — only the loss recompiles).
+    from .progressive import activation_epochs, active_features, gate_config
+
+    feature_schedule = dict(cfg.training.feature_schedule or {})
+
+    def loss_cfg_for(epoch: int):
+        if not feature_schedule:
+            return loss_config_from_experiment(cfg)
+        return loss_config_from_experiment(
+            gate_config(cfg, feature_schedule, epoch))
+
+    loss_cfg = loss_cfg_for(0)
+    feature_epochs = set(activation_epochs(feature_schedule)) - {0}
     compute_dtype = cfg.training.compute_dtype
     train_step = make_train_step(model, tx, loss_cfg, mesh=mesh,
                                  compute_dtype=compute_dtype)
@@ -172,6 +186,60 @@ def run_training(
 
         def val_iter():
             return padded_batch_iterator(val_ds, batch_size)
+
+    # Curated validation scenes: fixed val samples selected by instance
+    # count (1/2/3/5-person) at loop start, rendered at EVERY validation
+    # epoch — the reference's main visual-regression tool
+    # (train_distillation_staged.py:584-763, visualize.py:23-28).
+    curated: list = []
+    if not synthetic:
+        wanted = (1, 2, 3, 5)
+        found: Dict[int, int] = {}
+        for si, (_, ann_ids) in enumerate(val_ds.samples):
+            c = len(ann_ids)
+            if c in wanted and c not in found:
+                found[c] = si
+            if len(found) == len(wanted):
+                break
+        curated = [(f"{c}person", idx) for c, idx in sorted(found.items())]
+        if curated:
+            logger.text("curated validation scenes: "
+                        + ", ".join(f"{lab}=val[{idx}]" for lab, idx in curated))
+
+    _render_cache: Dict[str, Any] = {}
+
+    def render_curated(state, epoch: int) -> None:
+        if not curated:
+            return
+        try:
+            from ..visualize import save_image, validation_grid
+            from .steps import rois_from_boxes
+
+            if "fn" not in _render_cache:
+                def fwd(variables, images, rois):
+                    return model.apply(variables, images, rois, train=False)
+                _render_cache["fn"] = jax.jit(fwd)
+            variables = {"params": jax.device_get(state.params)}
+            bstats = jax.device_get(state.batch_stats)
+            if bstats:
+                variables["batch_stats"] = bstats
+            for label, idx in curated:
+                s = val_ds[idx]
+                imgs = s["image"][None]
+                boxes = s["boxes"][None]
+                rois = rois_from_boxes(jnp.asarray(boxes))
+                logits, aux = _render_cache["fn"](
+                    variables, jnp.asarray(imgs), rois)
+                grid = validation_grid(
+                    imgs[0], s["masks"], np.asarray(logits), boxes[0],
+                    binary_mask=np.asarray(jax.nn.softmax(
+                        aux["full_image_logits"], axis=-1)[0, ..., 0:1])
+                    if "full_image_logits" in aux else None)
+                save_image(
+                    f"{out_dir}/visualizations/epoch{epoch:04d}_{label}.png",
+                    grid)
+        except Exception as e:  # viz must never kill a run
+            logger.text(f"curated visualization skipped: {e}")
 
     def validation_sweep(state) -> Dict[str, float]:
         """Held-out sweep through the shared eval step: target mIoU +
@@ -236,6 +304,13 @@ def run_training(
         epoch = i // steps_per_epoch
         if i % steps_per_epoch == 0 and epoch in stage_schedule:
             state, train_step, tx = apply_stage(epoch, state, train_step, tx)
+        if i % steps_per_epoch == 0 and epoch in feature_epochs:
+            loss_cfg = loss_cfg_for(epoch)
+            train_step = make_train_step(model, tx, loss_cfg, mesh=mesh,
+                                         compute_dtype=compute_dtype)
+            logger.text(
+                f"progressive activation at epoch {epoch}: "
+                f"{active_features(feature_schedule, epoch)} active")
         host_batch = next(batches)
         device_batch = shard_batch(mesh, host_batch) if mesh is not None else host_batch
         state, metrics = train_step(state, device_batch)
@@ -256,6 +331,7 @@ def run_training(
         finished = i == total_steps
         if (at_epoch_end and (epoch + 1) % max(cfg.training.validate_every, 1) == 0) or finished:
             vm = validation_sweep(state)
+            render_curated(state, epoch)
             last_metrics.update(vm)
             logger.metrics(i, vm)
             logger.text(f"epoch {epoch}: val mIoU {vm['val_miou']:.4f} "
