@@ -75,7 +75,14 @@ def convert_people_seg_unet(
     state_dict: Dict[str, Any], variant: Optional[str] = None
 ) -> Dict[str, Any]:
     """smp.Unet state_dict -> {'params', 'batch_stats'} for
-    PeopleSegmentationUNet(encoder_variant=variant)."""
+    PeopleSegmentationUNet(encoder_variant=variant).
+
+    IMPORTANT: serve converted weights with ``upsample_mode="nearest"``
+    (``stage1_upsample_mode="nearest"`` on the flagship assembly) — smp's
+    UnetDecoder upsamples with F.interpolate(scale_factor=2,
+    mode="nearest"), and checkpoints trained under that stencil produce
+    divergent logits through this repo's default bilinear decoder
+    (tests/test_reference_parity.py::test_smp_decoder_block_*)."""
     sd = strip_prefixes(state_dict)
     variant = variant or detect_variant_by_key_count(sd)
     width, depth, _ = VARIANTS[variant]
@@ -419,6 +426,18 @@ def main():
     sd = load_torch_checkpoint(args.checkpoint)
     variables = convert_people_seg_unet(sd, args.variant)
     Path(args.out).write_bytes(flax.serialization.to_bytes(variables))
+    # metadata sidecar mirroring the reference exporter's JSON sidecar
+    # (export_hierarchical_instance_peopleseg_onnx.py:510-542); records the
+    # decoder stencil converted checkpoints require
+    import json
+
+    Path(str(args.out) + ".json").write_text(json.dumps({
+        "source": str(args.checkpoint),
+        "variant": args.variant,
+        "upsample_mode": "nearest",
+        "note": "serve with PeopleSegmentationUNet(upsample_mode='nearest') "
+                "/ stage1_upsample_mode='nearest' (smp decoder parity)",
+    }, indent=2))
     n = sum(np.asarray(v).size for v in sd.values())
     print(f"converted {len(sd)} tensors ({n / 1e6:.1f}M params) -> {args.out}")
 

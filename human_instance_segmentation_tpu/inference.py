@@ -104,11 +104,16 @@ class InferenceEngine:
         fused_head: bool = False,
         const_params: bool = False,
         mesh: Optional[jax.sharding.Mesh] = None,
+        int8_deny: Tuple[str, ...] = ("encoder/",),
     ):
         """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
         the MXU (the TPU analogue of the reference's TensorRT int8 engines).
         Activation scales are calibrated automatically from the first batch
         (see :meth:`calibrate` to use a dedicated calibration set).
+        ``int8_deny`` path substrings stay bf16 under int8 serving; the
+        stage-1 ENCODER is denied by default — XLA's s8 conv lowering loses
+        there (11.18 bf16 vs 12.32 ms int8, scripts/exp_r3_enc_d4.py), so
+        quantizing it costs throughput for nothing.
 
         ``fused_head=True`` traces the stage-2 conv+LayerNorm2d+relu units
         through the fused Pallas kernel (ops/pallas_head.py) and runs the
@@ -142,6 +147,7 @@ class InferenceEngine:
         self.fused_head = fused_head
         self.const_params = const_params
         self.mesh = mesh
+        self.int8_deny = tuple(int8_deny)
         self._np_params: Any = None
         self._scales: Optional[dict] = None
         self._compiled: Dict[Tuple[int, int], Any] = {}
@@ -176,10 +182,11 @@ class InferenceEngine:
             use_int8 = self.quantize == "int8"
             use_fusion = self.fused_head
             scales = self._scales
+            deny = self.int8_deny
 
             def forward(params, images, rois):
                 # the contexts are consulted at trace time
-                with int8_serving(use_int8, scales), head_fusion(use_fusion):
+                with int8_serving(use_int8, scales, deny), head_fusion(use_fusion):
                     logits, aux = self.model.apply(params, images, rois, train=False)
                 inst, binary = deployed_outputs(logits, aux, rois, dil)
                 return inst, binary, logits

@@ -51,10 +51,15 @@ class RGBPatchFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from .blocks import prequantize_for
+
         kw = dict(norm=self.norm, activation=self.activation, activation_beta=self.activation_beta)
         for i, ch in enumerate((64, 128, 256)):
+            if i > 0:  # res{i-1} output is single-use: flow int8 (serving)
+                x = prequantize_for(self, f"conv{i}/conv", x)
             x = ConvNormAct(ch, norm_groups=min(self.norm_groups, ch), name=f"conv{i}", **kw)(x, train=train)
             x = ResidualBlock(ch, norm_groups=min(self.norm_groups, ch), name=f"res{i}", **kw)(x, train=train)
+        x = prequantize_for(self, "proj/conv", x, k=1)
         return ConvNormAct(
             self.feature_dim, kernel=1, norm_groups=min(self.norm_groups, self.feature_dim), name="proj", **kw
         )(x, train=train)
@@ -121,6 +126,14 @@ class HierarchicalInstanceSegmenter(nn.Module):
     pallas_tail: bool = False
     # Serving: encoder stem/stage-0/stage-1-entry in S2D(2) composed form.
     encoder_s2d_front: bool = False
+    # Stage-1 decoder upsample stencil: "bilinear" (repo-trained weights) or
+    # "nearest" (smp parity for converted reference checkpoints).
+    stage1_upsample_mode: str = "bilinear"
+    # Serving: RGB ROI crop through the Pallas bilinear-gather kernel
+    # (ops/pallas_roi_align.py — 4x the separable-matmul path standalone at
+    # deployment shapes, 0.17 vs 0.68 ms). The crop is ~1% of the deployed
+    # batch, so this is measured opt-in via the serving matrix.
+    pallas_roi_align: bool = False
 
     def setup(self):
         self.pretrained_unet = PeopleSegmentationUNet(
@@ -130,6 +143,7 @@ class HierarchicalInstanceSegmenter(nn.Module):
             encoder_fused_blocks=self.encoder_fused_blocks,
             pallas_tail=self.pallas_tail,
             encoder_s2d_front=self.encoder_s2d_front,
+            upsample_mode=self.stage1_upsample_mode,
             name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")
         self.rgb_extractor = RGBPatchFeatureExtractor(
@@ -240,7 +254,14 @@ class HierarchicalInstanceSegmenter(nn.Module):
             if self.freeze_pretrained:
                 full_image_logits = jax.lax.stop_gradient(full_image_logits)
             roi_bg_fg = roi_align(full_image_logits, rois, rh, rw, spatial_scale=scale, aligned=True)
-        roi_rgb = roi_align(images, rois, rh, rw, spatial_scale=scale, aligned=True)
+        if self.pallas_roi_align and not train:
+            from ..ops.pallas_roi_align import roi_align_pallas
+
+            roi_rgb = roi_align_pallas(
+                images, rois, rh, rw, spatial_scale=scale, aligned=True,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            roi_rgb = roi_align(images, rois, rh, rw, spatial_scale=scale, aligned=True)
 
         rgb_features = self.rgb_extractor(roi_rgb, train=train)
 

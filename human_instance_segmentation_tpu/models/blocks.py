@@ -26,6 +26,8 @@ def _fusable(module, x, train: bool) -> bool:
     Pallas kernel (ops/pallas_head.py) instead of the unfused op chain."""
     if train or not pallas_head.fusion_enabled():
         return False
+    if x.dtype == jnp.int8:  # pre-quantized boundary: XLA qconv path owns it
+        return False
     if module.norm != "layernorm2d" or module.activation != "relu":
         return False
     n, h, w, ci = x.shape
@@ -35,6 +37,36 @@ def _fusable(module, x, train: bool) -> bool:
 _NO_FUSE = object()
 
 
+def prequantize_for(parent, child: str, x: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    """Quantize x to int8 in the PRODUCER's epilogue, using the calibrated
+    input scale of the single consumer conv it feeds (``child`` is that
+    conv's path relative to ``parent``).
+
+    Int8 serving only. The round/clip/convert chain fuses into whatever
+    produced x (a norm/act epilogue), so the bf16 boundary tensor never
+    reaches HBM and the consumer QConv — which detects the int8 dtype and
+    skips its own quantize — reads HALF the bytes. Numerically identical to
+    letting the consumer quantize: same scale, same round-to-nearest.
+    Returns x unchanged whenever the consumer conv would not run int8
+    (disabled/denied/ineligible/uncalibrated), keeping producer and
+    consumer decisions in lockstep."""
+    from ..ops.quant import int8_denied, quant_enabled, static_scales
+    from ..ops.s2d import quantize_static
+
+    if not quant_enabled() or x.dtype == jnp.int8:
+        return x
+    path = parent.path + tuple(child.split("/"))
+    if int8_denied(path) or k * k * x.shape[-1] < 48:
+        return x
+    scales = static_scales()
+    if not scales:
+        return x
+    s = scales.get("/".join(path))
+    if s is None:
+        return x
+    return quantize_static(x, s)
+
+
 def _fused_xscale_for(parent, conv_name: str, x, k: int):
     """Activation scale for the fused kernel's int8 path.
 
@@ -42,7 +74,9 @@ def _fused_xscale_for(parent, conv_name: str, x, k: int):
     calibrated float scale when available, or the _NO_FUSE sentinel when
     int8 serving is on but this conv has no calibrated scale — then the
     unfused QConv (dynamic-scale) path keeps its current behavior."""
-    if not quant_enabled():
+    from ..ops.quant import int8_denied
+
+    if not quant_enabled() or int8_denied(parent.path + (conv_name,)):
         return None
     scales = static_scales()
     if scales is None or k * k * x.shape[-1] < 48:
@@ -122,6 +156,8 @@ class ResidualBlock(nn.Module):
         h = conv1(x)
         h = norm1(h, train=train)
         h = act(h)
+        # single-use internal boundary: flow int8 into conv2 (serving)
+        h = prequantize_for(self, "conv2", h)
         h = conv2(h)
         h = norm2(h, train=train)
         return act(h + x)

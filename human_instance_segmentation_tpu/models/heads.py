@@ -31,7 +31,8 @@ from ..ops.quant import QConv, quant_enabled
 from ..ops import pallas_head
 from ..ops.s2d import (conv1x1_kernel_s2d, deconv2x_kernel_s2d,
                        depth_to_space, tile_channel_params)
-from .blocks import ConvNormAct, ConvTranspose2x, Dropout2d, ResidualBlock, max_pool_2x, pixel_shuffle
+from .blocks import (ConvNormAct, ConvTranspose2x, Dropout2d, ResidualBlock,
+                     max_pool_2x, pixel_shuffle, prequantize_for)
 
 
 def _fused_upsample(x, deconv_mod, norm_mod, features: int):
@@ -92,6 +93,7 @@ class EnhancedUNet(nn.Module):
             else:
                 x = ResidualBlock(chans[i - 1], name=f"enc{i}_res0", **kw)(x, train=train)
                 x = ResidualBlock(chans[i - 1], name=f"enc{i}_res1", **kw)(x, train=train)
+                x = prequantize_for(self, f"enc{i}_out/conv", x)
                 x = ConvNormAct(chans[i], name=f"enc{i}_out", **kw)(x, train=train)
             skips.append(x)
             if i < self.depth - 1:
@@ -102,6 +104,7 @@ class EnhancedUNet(nn.Module):
         a = ResidualBlock(chans[-1], name="bott_res0", **kw)(x, train=train)
         a = ResidualBlock(chans[-1], name="bott_res1", **kw)(a, train=train)
         a = ConvNormAct(chans[-1], name="bott_cna", **kw)(a, train=train)
+        a = prequantize_for(self, "bott_att", a, k=1)
         a = jax.nn.sigmoid(QConv(chans[-1], (1, 1), name="bott_att")(a))
         x = QConv(chans[-1], (3, 3), padding=1, name="bott_conv")(x) * a
 
@@ -111,11 +114,13 @@ class EnhancedUNet(nn.Module):
             if x.shape[1:3] != skip.shape[1:3]:
                 x = resize_bilinear(x, skip.shape[1], skip.shape[2])
             x = jnp.concatenate([x, skip], axis=-1)
+            x = prequantize_for(self, f"dec{d}_in/conv", x)
             x = ConvNormAct(chans[i - 1], name=f"dec{d}_in", **kw)(x, train=train)
             x = ResidualBlock(chans[i - 1], name=f"dec{d}_res0", **kw)(x, train=train)
             x = ResidualBlock(chans[i - 1], name=f"dec{d}_res1", **kw)(x, train=train)
 
         x = ConvNormAct(chans[0] // 2, name="final_cna", **kw)(x, train=train)
+        x = prequantize_for(self, "final_out", x, k=1)
         return QConv(2, (1, 1), name="final_out")(x)
 
 
@@ -222,8 +227,10 @@ class HierarchicalHeadV2(nn.Module):
         # Foreground attention gate from the low-res bg/fg logits
         g = act(QConv(mc // 4, (1, 1), name="gate0")(bg_fg_low))
         g = Dropout2d(self.dropout_rate * 0.5, name="gate_drop")(g, train=train)
-        g = act(QConv(mc // 2, (1, 1), name="gate1")(g))
-        fg_attention = jax.nn.sigmoid(QConv(mc, (1, 1), name="gate2")(g))
+        g = act(QConv(mc // 2, (1, 1), name="gate1")(
+            prequantize_for(self, "gate1", g, k=1)))
+        fg_attention = jax.nn.sigmoid(QConv(mc, (1, 1), name="gate2")(
+            prequantize_for(self, "gate2", g, k=1)))
 
         # Branch 2: target vs non-target on gated shared features
         t = shared * fg_attention

@@ -84,7 +84,9 @@ def _tail_qscales(module, tags):
     (uncalibrated) int8 is deliberately NOT attempted here — measured to
     lose throughput (the abs-max reduce is a full extra pass over high-res
     tensors), so a missing scale leaves that conv in bf16."""
-    if not quant_enabled():
+    from ..ops.quant import int8_denied
+
+    if not quant_enabled() or int8_denied(module.path):
         return {t: None for t in tags}
     sc = static_scales()
     if not sc:
@@ -110,6 +112,11 @@ class DecoderBlock(nn.Module):
 
     features: int
     fused: bool = False
+    # 2x upsample stencil: "bilinear" (this repo's trained checkpoints) or
+    # "nearest" (smp UnetDecoder's F.interpolate default — REQUIRED for
+    # stage-1 logit parity with converted reference checkpoints,
+    # hierarchical_segmentation_unet.py:1747-1799).
+    upsample_mode: str = "bilinear"
     # input arrives in S2D(2) form from the previous fused stage (serving
     # only, skip-free blocks): the composed up+conv consumes it directly —
     # no depth_to_space materialisation of the small-C full-res tensor.
@@ -129,7 +136,7 @@ class DecoderBlock(nn.Module):
             s0, b0, m0, v0 = _BNParams(name="bn0")(self.features)
             k1, _ = _Conv3Params(self.features, name="conv1")(self.features)
             s1, b1, m1, v1 = _BNParams(name="bn1")(self.features)
-            y4 = conv_up_s2d_nested(x, k0)                 # N4 on x's grid
+            y4 = conv_up_s2d_nested(x, k0, mode=self.upsample_mode)  # N4 on x's grid
             t = lambda v: jnp.tile(v.astype(y4.dtype), 16)
             y4 = jax.nn.relu((y4 - t(m0)) * jax.lax.rsqrt(t(v0) + 1e-5) * t(s0) + t(b0))
             y = n4_regroup_to_s2d(y4)                      # S2D(2) on 2x grid
@@ -160,7 +167,8 @@ class DecoderBlock(nn.Module):
                 qs = _tail_qscales(self, ("x", "skip", "mid"))
             else:
                 qs = {"x": None, "skip": None, "mid": None}
-            y = conv_up_s2d(x, k0[:, :, :cx], qscale=qs["x"])
+            y = conv_up_s2d(x, k0[:, :, :cx], qscale=qs["x"],
+                            mode=self.upsample_mode)
             if skip_is_s2d:
                 # S2D skip (encoder s2d_front): same full-res 3x3 conv math
                 # directly on the phase form
@@ -178,7 +186,12 @@ class DecoderBlock(nn.Module):
 
         if skip_is_s2d:  # unfused consumer: materialise the plain skip
             skip = depth_to_space(skip, 2)
-        x = resize_bilinear(x, h * 2, w * 2)
+        if self.upsample_mode == "nearest":
+            from ..ops.s2d import upsample_2x_nearest
+
+            x = upsample_2x_nearest(x)
+        else:
+            x = resize_bilinear(x, h * 2, w * 2)
         if skip is not None:
             # Guard odd input sizes: match the skip's spatial extent.
             if x.shape[1:3] != skip.shape[1:3]:
@@ -206,6 +219,12 @@ class PeopleSegmentationUNet(nn.Module):
     normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     drop_path_rate: float = 0.0
+    # Decoder 2x upsample stencil. "bilinear" for this repo's own trained
+    # checkpoints; "nearest" reproduces smp's UnetDecoder
+    # (F.interpolate(scale_factor=2, mode="nearest")) so CONVERTED reference
+    # checkpoints produce matching stage-1 logits (the converter sets this,
+    # convert_weights.py).
+    upsample_mode: str = "bilinear"
     # Serving optimisation: compute the last N decoder stages + seg head in
     # space-to-depth form (exact same params/math; ops/s2d.py). The
     # high-res low-channel tail is the flagship's dominant cost at 2-5% MFU;
@@ -284,6 +303,7 @@ class PeopleSegmentationUNet(nn.Module):
             # Kept off; the Pallas fused tail owns this instead.
             input_s2d = self.nested_tail and h_is_s2d and use_fused and skip is None
             if (self.pallas_tail and not train and i == n - 1 and h_is_s2d
+                    and self.upsample_mode == "bilinear"
                     and skip is None and use_fused and self.classes == 1
                     and h.shape[1] % _TAIL_TR == 0 and h.shape[1] >= 2 * _TAIL_TR
                     and h.shape[2] % 8 == 0):
@@ -296,6 +316,7 @@ class PeopleSegmentationUNet(nn.Module):
             if h_is_s2d and not input_s2d:
                 h = depth_to_space(h, 2)
             h = DecoderBlock(features=ch, name=f"decoder{i}", fused=use_fused,
+                             upsample_mode=self.upsample_mode,
                              input_s2d=input_s2d, skip_s2d=skip_s2d)(
                 h, skip, train=train)
             h_is_s2d = use_fused

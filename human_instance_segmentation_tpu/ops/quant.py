@@ -58,6 +58,20 @@ def static_scales() -> dict | None:
     return getattr(_STATE, "scales", None)
 
 
+def int8_denied(path: tuple) -> bool:
+    """True when this module path is on the serving denylist — the conv
+    stays bf16 under int8_serving. XLA's s8 conv lowering LOSES at some
+    shape families even with static scales; measured (batch 32, v5e,
+    scripts/exp_r3_enc_d4.py): the whole EfficientNet-B0 encoder runs
+    11.18 ms bf16 vs 12.32 ms int8-static — so the encoder is denied by
+    default in InferenceEngine."""
+    deny = getattr(_STATE, "deny", ())
+    if not deny:
+        return False
+    p = "/".join(path)
+    return any(d in p for d in deny)
+
+
 class int8_serving:
     """Context manager enabling the int8 path of every QConv traced inside.
 
@@ -69,18 +83,22 @@ class int8_serving:
     dynamic per-tensor quantization.
     """
 
-    def __init__(self, enabled: bool = True, scales: dict | None = None):
+    def __init__(self, enabled: bool = True, scales: dict | None = None,
+                 deny: tuple = ()):
         self.enabled = enabled
         self.scales = scales
+        self.deny = tuple(deny)
 
     def __enter__(self):
-        self.prev = (quant_enabled(), static_scales())
+        self.prev = (quant_enabled(), static_scales(),
+                     getattr(_STATE, "deny", ()))
         _STATE.enabled = self.enabled
         _STATE.scales = self.scales
+        _STATE.deny = self.deny
         return self
 
     def __exit__(self, *exc):
-        _STATE.enabled, _STATE.scales = self.prev
+        _STATE.enabled, _STATE.scales, _STATE.deny = self.prev
         return False
 
 
@@ -143,25 +161,35 @@ def qconv2d(
 ) -> jnp.ndarray:
     """Quantized NHWC conv: int8 MXU compute, bf16 result.
 
-    x: (B, H, W, Ci) float; w: (kh, kw, Ci, Co) float. Activation scale is
+    x: (B, H, W, Ci) float — or ALREADY int8, pre-quantized by the
+    producer's epilogue with this conv's calibrated ``static_scale``
+    (see models/blocks.py:prequantize_for — the bf16 boundary tensor then
+    never exists in HBM). w: (kh, kw, Ci, Co) float. Activation scale is
     ``static_scale`` when given (calibrated; quantize fuses into the
     producer) else dynamic per-tensor abs-max. Weight scales are per
     output channel.
     """
-    if static_scale is not None:
+    if x.dtype == jnp.int8:
+        assert static_scale is not None, "int8 input needs its producer scale"
         sx = jnp.float32(static_scale)
+        xq = x
+        out_dtype = w.dtype
     else:
-        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-6) / 127.0
+        if static_scale is not None:
+            sx = jnp.float32(static_scale)
+        else:
+            sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-6) / 127.0
+        xq = quantize_symmetric(x, sx)
+        out_dtype = x.dtype
     sw = jnp.maximum(
         jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32), 1e-8) / 127.0
-    xq = quantize_symmetric(x, sx)
     wq = quantize_symmetric(w, sw)
     y = lax.conv_general_dilated(
         xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
 
 class QConv(nn.Module):
@@ -203,15 +231,20 @@ class QConv(nn.Module):
             # fused-kernel callers (ops/pallas_head.py) read the params
             # without computing; declaration order/names stay identical
             return kernel, bias
-        kernel = kernel.astype(x.dtype)
+        pre_quantized = x.dtype == jnp.int8
+        if not pre_quantized:
+            kernel = kernel.astype(x.dtype)
         eligible = ks[0] * ks[1] * x.shape[-1] >= 48
         if calibrating() and eligible:
             self.sow("calib", "amax", jnp.max(jnp.abs(x)).astype(jnp.float32))
-        if quant_enabled() and eligible:
+        if (quant_enabled() and eligible and not int8_denied(self.path)) \
+                or pre_quantized:
             scales = static_scales()
             sx = None
             if scales is not None:
                 sx = scales.get("/".join(self.path))
+            assert not (pre_quantized and sx is None), \
+                f"int8 input to {'/'.join(self.path)} without a calibrated scale"
             y = qconv2d(x, kernel, st, pad, static_scale=sx)
         else:
             y = lax.conv_general_dilated(

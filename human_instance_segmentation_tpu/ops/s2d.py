@@ -331,27 +331,43 @@ def _border_correction_kernels(w: jnp.ndarray):
 
 
 def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray,
-                qscale: float | None = None) -> jnp.ndarray:
-    """conv3x3(zero-pad, kernel w) of upsample_2x_bilinear(x), returned in
+                qscale: float | None = None,
+                mode: str = "bilinear") -> jnp.ndarray:
+    """conv3x3(zero-pad, kernel w) of a 2x upsample of x, returned in
     S2D(2) form on x's own grid, without materialising the upsample.
 
     x: (B, H, W, Ci); w: (3, 3, Ci, Co) -> (B, H, W, 4*Co).
 
-    Interior cells come from a single composed 3x3 SAME conv over x. The
-    first/last cell rows/cols — where composed zero padding deviates from
-    the true edge-clamped upsample — are fixed by ADDING impulse-extracted
-    correction terms (:func:`_border_correction_kernels`): two 2-row convs,
-    two 2-col convs and four 2x2 corner contractions, merged in one fused
-    masked-add/select pass. This replaces the v2 strip recompute whose
-    thin-slice layouts cost ~6 ms/batch at decoder-4 shapes
+    ``mode="bilinear"`` composes the half-pixel edge-clamped bilinear
+    stencil (ops/sampling.upsample_2x_bilinear); ``mode="nearest"`` the smp
+    UnetDecoder default (F.interpolate(mode="nearest")) the reference's
+    frozen stage-1 checkpoints were trained with — converted-checkpoint
+    serving must use nearest for stage-1 logit parity.
+
+    Bilinear: interior cells come from a single composed 3x3 SAME conv over
+    x; the first/last cell rows/cols — where composed zero padding deviates
+    from the true edge-clamped upsample — are fixed by ADDING
+    impulse-extracted correction terms (:func:`_border_correction_kernels`):
+    two 2-row convs, two 2-col convs and four 2x2 corner contractions,
+    merged in one fused masked-add/select pass. This replaces the v2 strip
+    recompute whose thin-slice layouts cost ~6 ms/batch at decoder-4 shapes
     (scripts/profile_d4.py); all variants are bit-identical in f32.
 
+    Nearest has no edge clamp — an out-of-range full-res tap maps to an
+    out-of-range cell — so the composed SAME conv is exact EVERYWHERE and
+    the whole border/corner machinery (and its optimization_barrier)
+    disappears.
+
     With ``qscale`` the main composed conv runs int8 (``x`` may arrive
-    pre-quantized); the border/corner corrections — thin 2-row/col slabs —
-    stay in float, computed from the dequantized edge slices so they correct
-    exactly the map the int8 interior approximates.
+    pre-quantized); the bilinear border/corner corrections — thin 2-row/col
+    slabs — stay in float, computed from the dequantized edge slices so
+    they correct exactly the map the int8 interior approximates.
     """
     b, h, wd, ci = x.shape
+    if mode == "nearest":
+        K = compose_up_conv_kernel(w, mode)
+        return _conv_q(x, K, (1, 1), "SAME", qscale,
+                       out_dtype=None if qscale is None else w.dtype)
     if h < 4 or wd < 4:
         return _conv_up_s2d_strips(_dequant(x, qscale, w.dtype), w)
     K = compose_up_conv_kernel(w)
@@ -403,7 +419,8 @@ def conv_up_s2d(x: jnp.ndarray, w: jnp.ndarray,
     return jax.lax.optimization_barrier(y)
 
 
-def conv_up_s2d_nested(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv_up_s2d_nested(x_s2d: jnp.ndarray, w: jnp.ndarray,
+                       mode: str = "bilinear") -> jnp.ndarray:
     """:func:`conv_up_s2d` with the INPUT already in S2D(2) form, output in
     nested-S2D(4) ("N4") form on the input's own cell grid.
 
@@ -425,11 +442,11 @@ def conv_up_s2d_nested(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     ci = c4 // 4
     co = w.shape[3]
     co4 = 4 * co
-    K = compose_up_conv_kernel(w)  # (3, 3, Ci, 4Co) over the 240-grid
+    K = compose_up_conv_kernel(w, mode)  # (3, 3, Ci, 4Co) over the 240-grid
 
     if hc < 3 or wc < 3:
         # small inputs: border regions overlap; use the plain path
-        y240 = conv_up_s2d(depth_to_space(x_s2d, 2), w)
+        y240 = conv_up_s2d(depth_to_space(x_s2d, 2), w, mode=mode)
         return space_to_depth_blocks(y240)
 
     # pad-slice composed conv: output 240-cell q = 2I + g reads input cells
@@ -461,6 +478,10 @@ def conv_up_s2d_nested(x_s2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         O[:, gy:hc + gy, gx:wc + gx, (gy * 2 + gx) * co4:(gy * 2 + gx + 1) * co4]
         for gy in range(2) for gx in range(2)], axis=3)
     S = S.reshape(b, hc, wc, 2, 2, co4)
+
+    if mode == "nearest":
+        # no edge clamp -> the pad-slice composed conv is exact everywhere
+        return S.reshape(b, hc, wc, 16 * co)
 
     # border corrections, re-indexed from the 240-grid machinery
     k_top, k_bot, k_left, k_right, corners = _border_correction_kernels(w)

@@ -67,32 +67,48 @@ def main():
     ], axis=1))
     ARGS = (images, rois)
 
-    engines = {
-        "base": dict(),
-        "int8": dict(quantize="int8"),
-        "fused_head": dict(fused_head=True),
-        "const": dict(const_params=True),
-        "int8+const": dict(quantize="int8", const_params=True),
-        "int8+fused": dict(quantize="int8", fused_head=True),
-    }
+    def parse_mode(mode):
+        """'+'-separated tokens -> (engine kwargs, model kwargs).
 
-    def model_for(mode):
-        # encoder Pallas-fused-MBConv variants share the parameter tree, so
-        # the same params serve every model build
-        if "enc" in mode:
-            n = int(mode.rsplit("enc", 1)[1])
-            from human_instance_segmentation_tpu.models.assembly import (
-                HierarchicalInstanceSegmenter)
-            return HierarchicalInstanceSegmenter(
-                encoder_variant="b0", roi_size=(64, 48), mask_size=(128, 96),
-                image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
-                encoder_fused_blocks=n)
-        return model
+        Tokens: base / int8 / fused_head (alias fused) / const / encN
+        (Pallas fused MBConv for the first N blocks) / proi (Pallas
+        RoIAlign for the RGB crop) / noqdeny (quantize the encoder too —
+        the pre-denylist behaviour, kept measurable)."""
+        kw, mkw = {}, {}
+        for tok in mode.split("+"):
+            if tok == "base":
+                pass
+            elif tok == "int8":
+                kw["quantize"] = "int8"
+            elif tok in ("fused", "fused_head"):
+                kw["fused_head"] = True
+            elif tok == "const":
+                kw["const_params"] = True
+            elif tok == "noqdeny":
+                kw["int8_deny"] = ()
+            elif tok.startswith("enc"):
+                mkw["encoder_fused_blocks"] = int(tok[3:])
+            elif tok == "proi":
+                mkw["pallas_roi_align"] = True
+            else:
+                raise ValueError(f"unknown mode token {tok!r}")
+        return kw, mkw
+
+    def model_for(mkw):
+        # model variants share the parameter tree, so the same params
+        # serve every model build
+        if not mkw:
+            return model
+        from human_instance_segmentation_tpu.models.assembly import (
+            HierarchicalInstanceSegmenter)
+        return HierarchicalInstanceSegmenter(
+            encoder_variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+            image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
+            **mkw)
 
     for mode in modes:
-        base_mode = mode.split("+enc")[0]  # "int8+enc3" -> engine kw of "int8"
-        kw = dict(engines[base_mode]) if base_mode in engines else {}
-        eng = InferenceEngine(model_for(mode), params, dilation_pixels=1,
+        kw, mkw = parse_mode(mode)
+        eng = InferenceEngine(model_for(mkw), params, dilation_pixels=1,
                               dtype=jnp.bfloat16, **kw)
         if kw.get("quantize"):
             eng.calibrate(np.asarray(images, np.float32), np.asarray(rois))

@@ -43,3 +43,27 @@ def test_oob_zero_padding(rng):
                            aligned=False, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     assert np.asarray(out)[0, -1, -1, 0] == 0.0  # fully outside corner
+
+
+def test_flagship_pallas_roi_align_flag_matches(rng):
+    """HierarchicalInstanceSegmenter(pallas_roi_align=True) serves the same
+    outputs as the separable-matmul crop (interpret mode on CPU)."""
+    import jax
+
+    from human_instance_segmentation_tpu.models.assembly import (
+        HierarchicalInstanceSegmenter)
+
+    kw = dict(encoder_variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
+              image_size=(64, 64), base_channels=16, depth=2, mid_channels=32,
+              feature_dim=32, unet_decoder_channels=(32, 24, 16, 16, 8))
+    plain = HierarchicalInstanceSegmenter(**kw)
+    proi = HierarchicalInstanceSegmenter(**kw, pallas_roi_align=True)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8],
+                        [1.0, 0.1, 0.05, 0.6, 0.9]], jnp.float32)
+    variables = jax.jit(lambda r: plain.init(r, images, rois, train=False))(
+        jax.random.PRNGKey(0))
+    lp, _ = plain.apply(variables, images, rois, train=False)
+    lf, _ = proi.apply(variables, images, rois, train=False)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lp),
+                               atol=1e-4, rtol=1e-4)

@@ -41,6 +41,30 @@ def test_qconv_int8_bounded_error():
     assert rel < 0.05, rel
 
 
+def test_qconv_denylist_stays_exact():
+    """Path substrings in int8_serving(deny=...) compute exactly bf16/f32 —
+    the serving engine denies the stage-1 encoder by default (XLA s8 conv
+    lowering is a measured loss there, scripts/exp_r3_enc_d4.py)."""
+    import flax.linen as fnn
+
+    class Wrap(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            a = QConv(16, (3, 3), padding=1, name="encoder_conv")(x)
+            b = QConv(16, (3, 3), padding=1, name="head_conv")(x)
+            return a, b
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    m = Wrap()
+    v = m.init(jax.random.PRNGKey(0), x)
+    a_exact, b_exact = m.apply(v, x)
+    with int8_serving(deny=("encoder_",)):
+        a_deny, b_deny = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(a_deny), np.asarray(a_exact))
+    assert float(jnp.max(jnp.abs(b_deny - b_exact))) > 0  # head quantized
+
+
 def test_qconv_small_contraction_skipped():
     # 1x1 conv on 2 channels: below threshold, must stay exact even enabled
     rng = np.random.default_rng(2)

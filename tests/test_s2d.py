@@ -47,6 +47,74 @@ def test_conv_up_s2d_exact_including_borders(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_conv_up_s2d_nearest_exact_including_borders(rng):
+    """smp-parity mode: conv3x3(F.interpolate(x, 2, mode='nearest')) as one
+    composed conv — exact everywhere with NO border machinery (an
+    out-of-range full-res tap maps to an out-of-range cell)."""
+    from human_instance_segmentation_tpu.ops.s2d import upsample_2x_nearest
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 4)).astype(np.float32) * 0.2)
+    want = _conv_same(upsample_2x_nearest(x), k)  # (2, 12, 16, 4)
+    got = depth_to_space(conv_up_s2d(x, k, mode="nearest"), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+    # tiny inputs route through the strips oracle — also exact
+    xt = x[:, :3, :3]
+    want_t = _conv_same(upsample_2x_nearest(xt), k)
+    got_t = depth_to_space(conv_up_s2d(xt, k, mode="nearest"), 2)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-5, rtol=1e-5)
+
+
+def test_conv_up_s2d_nested_nearest_exact(rng):
+    from human_instance_segmentation_tpu.ops.s2d import (
+        conv_up_s2d_nested, n4_to_plain, upsample_2x_nearest)
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 2)).astype(np.float32) * 0.2)
+    want = _conv_same(upsample_2x_nearest(x), k)          # (2, 24, 32, 2)
+    from human_instance_segmentation_tpu.ops.s2d import n4_regroup_to_s2d
+
+    got = conv_up_s2d_nested(space_to_depth(x, 2), k, mode="nearest")
+    got = depth_to_space(n4_regroup_to_s2d(got), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("with_skip", [True, False])
+def test_decoder_block_nearest_fused_matches_plain(rng, with_skip):
+    """Nearest-mode DecoderBlock: fused S2D path == plain
+    upsample-nearest -> concat -> conv path, same params."""
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 10)).astype(np.float32))
+    skip = (jnp.asarray(rng.standard_normal((2, 12, 16, 4)).astype(np.float32))
+            if with_skip else None)
+    plain = DecoderBlock(features=12, fused=False, upsample_mode="nearest")
+    fused = DecoderBlock(features=12, fused=True, upsample_mode="nearest")
+    variables = jax.device_get(
+        plain.init(jax.random.PRNGKey(0), x, skip, train=False))
+    for bn in ("bn0", "bn1"):
+        variables["batch_stats"][bn]["mean"] = rng.standard_normal(12).astype(np.float32) * 0.1
+        variables["batch_stats"][bn]["var"] = (rng.random(12).astype(np.float32) + 0.5)
+    want = plain.apply(variables, x, skip, train=False)
+    got = depth_to_space(fused.apply(variables, x, skip, train=False), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_unet_nearest_fused_tail_matches_plain():
+    dec = (16, 16, 8, 8, 8)
+    plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
+                                   upsample_mode="nearest")
+    fused = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
+                                   upsample_mode="nearest", fused_tail=2)
+    bil = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(lambda r: plain.init(r, x, train=False))(jax.random.PRNGKey(0))
+    want = plain.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+    # and the stencil actually matters: bilinear differs from nearest
+    other = bil.apply(variables, x, train=False)
+    assert np.abs(np.asarray(other) - np.asarray(want)).max() > 1e-4
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("with_skip", [True, False])
 def test_decoder_block_fused_matches_plain(rng, with_skip):
