@@ -201,6 +201,8 @@ class InferenceEngine:
                 fwd = forward
 
             if self.mesh is not None:
+                import logging
+
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
 
@@ -211,6 +213,15 @@ class InferenceEngine:
                          if batch % ndev == 0 else rep)
                 roi_s = (NamedSharding(self.mesh, P(axis))
                          if bucket % ndev == 0 else rep)
+                for name, extent, sh in (("batch", batch, img_s),
+                                         ("roi bucket", bucket, roi_s)):
+                    if sh is rep:
+                        # outputs stay identical either way, but the axis
+                        # runs replicated (quietly sequential) — surface it
+                        logging.getLogger(__name__).warning(
+                            "InferenceEngine mesh: %s=%d does not divide "
+                            "%d devices; that axis serves REPLICATED",
+                            name, extent, ndev)
                 run = jax.jit(fwd, in_shardings=(rep, img_s, roi_s),
                               out_shardings=(roi_s, img_s, roi_s))
             else:
