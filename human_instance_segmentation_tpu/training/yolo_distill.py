@@ -49,6 +49,33 @@ def synthetic_yolo_batches(batch: int, image_hw, yolo_dim: int = 1024,
         }
 
 
+def npz_feature_batches(feature_dir: str, batch: int,
+                        seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Batches from PRECOMPUTED feature files — the honest path to real
+    YOLOv9 activations: dump them offline with the reference's ORT
+    extractor (feature_extractor.py:123, e.g.
+    ``np.savez(f, images=..., masks=..., yolo_features=...)`` per batch,
+    NHWC, features at stride 8) and train against them here. No ORT
+    session ever enters the TPU training loop. Files are rebatched to
+    ``batch`` and cycled forever (shuffled per pass)."""
+    from pathlib import Path
+
+    files = sorted(Path(feature_dir).glob("*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no .npz feature files under {feature_dir}")
+    rng = np.random.default_rng(seed)
+    buf: Dict[str, list] = {"images": [], "masks": [], "yolo_features": []}
+    while True:
+        order = rng.permutation(len(files))
+        for fi in order:
+            with np.load(files[fi]) as z:
+                for k in buf:
+                    buf[k].extend(np.asarray(z[k], np.float32))
+            while len(buf["images"]) >= batch:
+                yield {k: np.stack(v[:batch]) for k, v in buf.items()}
+                buf = {k: v[batch:] for k, v in buf.items()}
+
+
 def run_yolo_feature_distillation(
     student_variant: str = "b0",
     teacher_variant: str = "b7",
@@ -67,6 +94,7 @@ def run_yolo_feature_distillation(
     teacher_checkpoint: Optional[str] = None,
     output_dir: Optional[str] = None,
     platform: Optional[str] = None,
+    feature_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     if platform:
         import jax
@@ -163,9 +191,23 @@ def run_yolo_feature_distillation(
     out_dir = output_dir or "experiments/yolo_feature_distillation"
     logger = TrainLogger(f"{out_dir}/logs", "yolo_feature_distillation")
 
-    batches = synthetic_yolo_batches(batch, (ih, iw), yolo_dim=yolo_dim)
-    vgen = synthetic_yolo_batches(batch, (ih, iw), yolo_dim=yolo_dim, seed=99)
-    val_batches = [next(vgen) for _ in range(2)]
+    if feature_dir:
+        batches = npz_feature_batches(feature_dir, batch)
+        first = next(batches)
+        assert first["images"].shape[1:3] == (ih, iw), (
+            f"feature files are {first['images'].shape[1:3]}, model expects "
+            f"{(ih, iw)} — pass matching --image sizes / --tiny")
+        assert first["yolo_features"].shape[-1] == yolo_dim, (
+            first["yolo_features"].shape, yolo_dim)
+        import itertools
+
+        batches = itertools.chain([first], batches)
+        vgen = npz_feature_batches(feature_dir, batch, seed=99)
+        val_batches = [next(vgen) for _ in range(2)]
+    else:
+        batches = synthetic_yolo_batches(batch, (ih, iw), yolo_dim=yolo_dim)
+        vgen = synthetic_yolo_batches(batch, (ih, iw), yolo_dim=yolo_dim, seed=99)
+        val_batches = [next(vgen) for _ in range(2)]
 
     best = 0.0
     metrics: Dict[str, float] = {}
@@ -212,6 +254,9 @@ def main():
     p.add_argument("--teacher-checkpoint", default=None)
     p.add_argument("--output_dir", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument("--feature-dir", default=None,
+                   help=".npz files with precomputed real YOLO features "
+                        "(images/masks/yolo_features per file)")
     args = p.parse_args()
     m = run_yolo_feature_distillation(
         student_variant=args.student, teacher_variant=args.teacher,
@@ -219,7 +264,7 @@ def main():
         batch=args.batch, synthetic=args.synthetic, tiny=args.tiny,
         feature_weight=args.feature_weight, feature_loss_type=args.feature_loss,
         teacher_checkpoint=args.teacher_checkpoint, output_dir=args.output_dir,
-        platform=args.platform)
+        platform=args.platform, feature_dir=args.feature_dir)
     print(json.dumps({k: v for k, v in m.items() if isinstance(v, float)}, indent=2))
 
 

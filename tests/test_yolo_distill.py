@@ -80,3 +80,35 @@ def test_student_params_load_into_deploy_unet():
     stripped = strip_projector(jax.device_get(sv))
     out = deploy.apply(stripped, x, train=False)  # raises if trees mismatch
     assert out.shape == (1, 64, 64, 1)
+
+
+def test_precomputed_feature_files(tmp_path):
+    """--feature-dir: train against PRECOMPUTED real-YOLO feature dumps
+    (.npz with images/masks/yolo_features), rebatched and cycled. The
+    honest equivalent of the reference's in-loop ORT extractor
+    (feature_extractor.py:123) without an ORT session in the step."""
+    import numpy as np
+
+    from human_instance_segmentation_tpu.training.yolo_distill import (
+        npz_feature_batches, run_yolo_feature_distillation)
+
+    rng = np.random.default_rng(0)
+    ih = iw = 64
+    for i, nb in enumerate((3, 2)):  # uneven file sizes exercise rebatching
+        np.savez(tmp_path / f"feat{i}.npz",
+                 images=rng.random((nb, ih, iw, 3)).astype(np.float32),
+                 masks=(rng.random((nb, ih, iw, 1)) > 0.5).astype(np.float32),
+                 yolo_features=rng.standard_normal(
+                     (nb, ih // 8, iw // 8, 32)).astype(np.float32))
+
+    it = npz_feature_batches(str(tmp_path), batch=2)
+    b = next(it)
+    assert b["images"].shape == (2, 64, 64, 3)
+    assert b["yolo_features"].shape == (2, 8, 8, 32)
+    next(it); next(it)  # cycles past the 5 available samples
+
+    m = run_yolo_feature_distillation(
+        epochs=1, steps_per_epoch=2, batch=2, tiny=True,
+        feature_dir=str(tmp_path), output_dir=str(tmp_path / "out"),
+        platform="cpu")
+    assert np.isfinite(m["total_loss"]) and np.isfinite(m["feature_loss"])
