@@ -321,3 +321,53 @@ def morphological_bilateral(
     blurred = _depthwise_conv2d(opened, g)
     closed = -max_pool2d(-max_pool2d(blurred, morph_size, 1, p), morph_size, 1, p)
     return (closed > 0.5).astype(x.dtype)
+
+
+# --- N4 phase-form binary epilogues ----------------------------------------
+#
+# The stage-1 serving path emits its logits in nested-S2D(4) ("N4") form
+# (B, H/4, W/4, 16); these variants run the deployed binary-mask epilogues
+# directly on that form. Exact same math as the plain versions (the N4
+# conv kernels are phase expansions, ops/s2d.py::dw_kernel_n4), but the
+# C=1 full-resolution map — which pads 128x in TPU lanes and made the
+# plain epilogue cost ~21 ms/batch-32 at 480x640 — never exists; only the
+# final output converts with one n4_to_plain.
+
+def edge_smooth_binary_mask_n4(mask_n4: jnp.ndarray, threshold: float = 0.5,
+                               blur_strength: float = 3.0) -> jnp.ndarray:
+    """N4-form :func:`edge_smooth_binary_mask` (exact)."""
+    from ..ops.s2d import conv_dw_n4
+
+    m = mask_n4.astype(jnp.float32)
+    edges = jnp.abs(conv_dw_n4(m, _LAPLACIAN))
+    edge_w = jax.nn.sigmoid(edges * blur_strength)
+    blurred = conv_dw_n4(m, _GAUSS3)
+    smoothed = m * (1.0 - edge_w) + blurred * edge_w
+    return (smoothed > threshold).astype(mask_n4.dtype)
+
+
+def binary_mask_bilateral_n4(
+    x_n4: jnp.ndarray, kernel_size: int = 7, sigma_spatial: float = 1.5,
+    threshold: float = 0.5, num_iterations: int = 2,
+) -> jnp.ndarray:
+    """N4-form :func:`binary_mask_bilateral` (exact)."""
+    from ..ops.s2d import conv_dw_n4
+
+    g = _gaussian_kernel_2d(kernel_size, sigma_spatial)
+    m = jnp.clip(x_n4.astype(jnp.float32), 0.0, 1.0)
+
+    def body(_, m):
+        filtered = conv_dw_n4(m, g)
+        var = jnp.clip(conv_dw_n4(m ** 2, g) - filtered ** 2, 0.0, None)
+        ew = jnp.exp(-var * 10.0)
+        return ew * filtered + (1.0 - ew) * m
+
+    m = lax.fori_loop(0, num_iterations, body, m)
+    return (m > threshold).astype(x_n4.dtype)
+
+
+def dilate_binary_n4(mask_n4: jnp.ndarray, pixels: int = 1) -> jnp.ndarray:
+    """N4-form binary dilation: full-res (2p+1)-square max."""
+    from ..ops.s2d import maxpool_n4
+
+    return maxpool_n4(mask_n4, 2 * pixels + 1)

@@ -761,3 +761,86 @@ def dw5_stride2_exit_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(c, dtype=w.dtype)
     k3 = jnp.einsum("klijc,cd->klijcd", a, eye)
     return k3.reshape(3, 3, 4 * c, c)
+
+
+# --- single-channel full-res ops in N4 phase form ---------------------------
+#
+# The deployed binary-mask epilogues (dilation, edge smoothing, bilateral)
+# operate on C=1 full-resolution maps, which pad 128x in TPU lanes — the
+# measured bilateral+smooth epilogue costs ~21 ms/batch-32 at 480x640 in
+# plain form. The same math runs on the stage-1 N4 phase form
+# (B, H/4, W/4, 16), which is lane-dense: a K x K single-channel conv
+# becomes one small dense conv over the 16 phase channels, and shifts
+# become channel permutations + cell shifts. Exact vs the plain ops
+# (tests/test_postprocess.py).
+
+def n4_channel(pr: int, pc: int) -> int:
+    """Channel index of full-res phase (row%4, col%4) in the bit-nested N4
+    order (u, v, ay, ax) used by conv3x3_s2d_to_n4/n4_to_plain."""
+    return (pr // 2) * 8 + (pc // 2) * 4 + (pr % 2) * 2 + (pc % 2)
+
+
+def dw_kernel_n4(k2d, dtype=jnp.float32) -> jnp.ndarray:
+    """(K, K) single-channel full-res conv kernel (zero padding) -> the
+    dense (kc, kc, 16, 16) kernel computing it on the N4 form. Cell-space
+    zero padding equals full-res zero padding (an out-of-range tap lands in
+    an out-of-range cell)."""
+    k2d = np.asarray(k2d, np.float64)
+    K = k2d.shape[0]
+    half = K // 2
+    reach = (half + 3) // 4
+    kc = 2 * reach + 1
+    W = np.zeros((kc, kc, 16, 16), np.float64)
+    for pr in range(4):
+        for pc in range(4):
+            out_ch = n4_channel(pr, pc)
+            for dy in range(K):
+                for dx in range(K):
+                    ty, tx = pr + dy - half, pc + dx - half
+                    cy, sr = ty // 4, ty % 4
+                    cx, sc = tx // 4, tx % 4
+                    W[cy + reach, cx + reach, n4_channel(sr, sc), out_ch] \
+                        += k2d[dy, dx]
+    return jnp.asarray(W, dtype)
+
+
+def conv_dw_n4(x_n4: jnp.ndarray, k2d) -> jnp.ndarray:
+    """Depthwise (single-channel) full-res conv applied to an N4 map
+    (B, Hg, Wg, 16) -> same shape; kernel weights may be a numpy array."""
+    return lax.conv_general_dilated(
+        x_n4, dw_kernel_n4(k2d, x_n4.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def shift_n4(x_n4: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Full-res shift by (dy, dx) of a single-channel map in N4 form
+    (zero padding): out[r, c] = x[r + dy, c + dx]."""
+    b, hg, wg, _ = x_n4.shape
+    ry = (abs(dy) + 3) // 4
+    rx = (abs(dx) + 3) // 4
+    xp = jnp.pad(x_n4, ((0, 0), (ry, ry), (rx, rx), (0, 0)))
+    cols = []
+    for pr in range(4):
+        for pc in range(4):
+            ty, tx = pr + dy, pc + dx
+            cy, sr = ty // 4, ty % 4
+            cx, sc = tx // 4, tx % 4
+            src = xp[:, ry + cy:ry + cy + hg, rx + cx:rx + cx + wg,
+                     n4_channel(sr, sc)]
+            cols.append((n4_channel(pr, pc), src))
+    cols.sort()
+    return jnp.stack([c for _, c in cols], axis=-1)
+
+
+def maxpool_n4(x_n4: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Full-res SAME max-pool (size x size, stride 1) on an N4 map —
+    the dilation primitive. Decomposed into per-axis shift-max chains."""
+    half = size // 2
+    y = x_n4
+    for axis_shift in [(d, 0) for d in range(-half, half + 1) if d] :
+        y = jnp.maximum(y, shift_n4(x_n4, *axis_shift))
+    out = y
+    for d in range(-half, half + 1):
+        if d:
+            out = jnp.maximum(out, shift_n4(y, 0, d))
+    return out

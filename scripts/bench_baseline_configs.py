@@ -134,12 +134,32 @@ def bench_binary():
                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
         return m.astype(jnp.bfloat16)
 
+    def binary_pipeline_n4(up, x):
+        # same epilogue math on the stage-1 N4 phase form: the 128x
+        # lane-padded C=1 full-res map never exists (models/postprocess.py
+        # *_n4 variants, exact vs the plain ops)
+        from human_instance_segmentation_tpu.models.postprocess import (
+            binary_mask_bilateral_n4, dilate_binary_n4,
+            edge_smooth_binary_mask_n4)
+
+        form, y = unet.apply(up, x, train=False, raw=True)
+        assert form == "n4"
+        prob = jax.nn.sigmoid(y.astype(jnp.float32))
+        m = binary_mask_bilateral_n4(prob, kernel_size=7, num_iterations=2)
+        m = edge_smooth_binary_mask_n4(m)
+        m = dilate_binary_n4(m, pixels=1)
+        return n4_to_plain(m, 1).astype(jnp.bfloat16)
+
     dt = time_slope(binary_pipeline, uparams, images)
+    dt_n4 = time_slope(binary_pipeline_n4, uparams, images)
+    best = min(dt, dt_n4)
     record({"b0_binary_bilateral": {
         "config": "B0 480x640 binary mode, in-graph bilateral(k7 x2) + edge "
                   "smoothing + 1px dilation, batch 32 bf16",
-        "ms_per_batch": round(dt * 1e3, 2),
-        "images_per_sec": round(b / dt, 1),
+        "ms_per_batch": round(best * 1e3, 2),
+        "images_per_sec": round(b / best, 1),
+        "plain_epilogue_ms": round(dt * 1e3, 2),
+        "n4_epilogue_ms": round(dt_n4 * 1e3, 2),
     }})
 
 
@@ -161,10 +181,14 @@ def bench_distill():
         jax.random.PRNGKey(1))
     t_vars = cast_floating(t_vars, jnp.bfloat16)
     tx = optax.adamw(1e-4)
+    from human_instance_segmentation_tpu.training.state import DistillationState
+
     step = make_distill_train_step(student, teacher, t_vars, tx,
                                    DistillationConfig(),
                                    compute_dtype="bfloat16")
-    state = TrainState.create(s_vars, tx, jax.random.PRNGKey(2))
+    state = TrainState.create(
+        s_vars, tx, jax.random.PRNGKey(2),
+        distill_state=DistillationState.create(temperature=10.0))
 
     rng_np = np.random.default_rng(0)
     batch = {

@@ -87,3 +87,48 @@ def test_feature_matching_loss(rng):
     # identical features -> zero
     total0, _ = feature_matching_loss(t, t)
     assert float(total0) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_binary_distill_step_on_mesh_matches_single_device():
+    """DP distillation step over the 8-device virtual mesh: metrics equal
+    the single-device step on the same global batch (grads pmean over ICI).
+    The virtual-mesh correctness half of the BASELINE distillation config
+    (single-chip throughput recorded by scripts/bench_baseline_configs.py)."""
+    from human_instance_segmentation_tpu.parallel.mesh import (
+        create_mesh, replicate, shard_batch)
+
+    student = PeopleSegmentationUNet(encoder_variant="tiny",
+                                     decoder_channels=(16, 16, 8, 8, 8))
+    teacher = PeopleSegmentationUNet(encoder_variant="tiny",
+                                     decoder_channels=(16, 16, 8, 8, 8))
+    x = jnp.zeros((8, 32, 32, 3))
+    s_vars = jax.jit(lambda r: student.init(r, x[:1], train=False))(jax.random.PRNGKey(0))
+    t_vars = jax.jit(lambda r: teacher.init(r, x[:1], train=False))(jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-3)
+    rng = np.random.default_rng(0)
+    batch = {"images": rng.random((8, 32, 32, 3), np.float32),
+             "masks": (rng.random((8, 32, 32, 1)) > 0.5).astype(np.float32)}
+
+    def fresh_state():
+        # deep-copy the variables: both steps donate their input state
+        sv = jax.tree.map(lambda a: jnp.array(np.asarray(a)), s_vars)
+        return TrainState.create(sv, tx, jax.random.PRNGKey(2),
+                                 distill_state=DistillationState.create(temperature=4.0))
+
+    step1 = make_distill_train_step(student, teacher, t_vars, tx,
+                                    DistillationConfig())
+    _, m1 = step1(fresh_state(), batch)
+
+    mesh = create_mesh(8)
+    stepm = make_distill_train_step(student, teacher, replicate(mesh, t_vars),
+                                    tx, DistillationConfig(), mesh=mesh)
+    state_m = replicate(mesh, fresh_state())
+    _, mm = stepm(state_m, shard_batch(mesh, batch))
+
+    # teacher is eval-mode -> exact across shardings (up to fp reassoc);
+    # student metrics differ slightly because train-mode BatchNorm computes
+    # PER-SHARD batch statistics under DP (1 img/shard here vs 8 globally)
+    np.testing.assert_allclose(float(mm["teacher_miou"]),
+                               float(m1["teacher_miou"]), rtol=2e-4)
+    for k in ("total_loss", "kl_loss", "student_miou"):
+        np.testing.assert_allclose(float(mm[k]), float(m1[k]), rtol=2e-2)

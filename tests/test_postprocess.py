@@ -1,5 +1,6 @@
 """Tests for fused post-processing epilogues vs reference (torch CPU) math."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -162,3 +163,73 @@ def test_morphological_removes_speckle():
     m[0, 8, 8, 0] = 1.0  # isolated pixel -> opening removes it
     out = np.asarray(pp.morphological_bilateral(jnp.asarray(m)))
     assert out.sum() == 0.0
+
+
+def _to_n4(x_plain):
+    from human_instance_segmentation_tpu.ops.s2d import (
+        space_to_depth, space_to_depth_blocks)
+
+    return space_to_depth_blocks(space_to_depth(x_plain, 2))
+
+
+def _from_n4(x_n4):
+    from human_instance_segmentation_tpu.ops.s2d import n4_to_plain
+
+    return n4_to_plain(x_n4, 1)
+
+
+def test_n4_depthwise_conv_and_shift_exact(rng):
+    from human_instance_segmentation_tpu.ops.s2d import (
+        conv_dw_n4, maxpool_n4, shift_n4)
+
+    x = jnp.asarray(rng.random((2, 16, 24, 1)).astype(np.float32))
+    xn4 = _to_n4(x)
+    # k7 Gaussian depthwise conv
+    g = np.asarray(pp._gaussian_kernel_2d(7, 1.5))
+    want = pp._depthwise_conv2d(x, jnp.asarray(g))
+    got = _from_n4(conv_dw_n4(xn4, g))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # full-res shifts incl. across-cell offsets
+    for dy, dx in ((1, 0), (0, -3), (5, 2), (-4, -1)):
+        w = np.zeros_like(np.asarray(x))
+        H, W = 16, 24
+        ys = slice(max(0, -dy), min(H, H - dy))
+        xs = slice(max(0, -dx), min(W, W - dx))
+        w[:, ys, xs] = np.asarray(x)[:, max(0, dy):min(H, H + dy) or None,
+                                     max(0, dx):min(W, W + dx) or None]
+        got_s = _from_n4(shift_n4(xn4, dy, dx))
+        # build expected with simple indexing
+        exp = np.zeros_like(np.asarray(x))
+        for r in range(H):
+            for c in range(W):
+                rr, cc = r + dy, c + dx
+                if 0 <= rr < H and 0 <= cc < W:
+                    exp[:, r, c] = np.asarray(x)[:, rr, cc]
+        np.testing.assert_allclose(np.asarray(got_s), exp, atol=1e-6)
+    # max-pool 3x3 (1px dilation)
+    want_mp = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                    (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    got_mp = _from_n4(maxpool_n4(xn4, 3))
+    np.testing.assert_allclose(np.asarray(got_mp), np.asarray(want_mp),
+                               atol=1e-6)
+
+
+def test_n4_binary_epilogues_exact(rng):
+    prob = jnp.asarray(rng.random((2, 16, 24, 1)).astype(np.float32))
+    n4 = _to_n4(prob)
+
+    want = pp.binary_mask_bilateral(prob, kernel_size=7, num_iterations=2)
+    got = _from_n4(pp.binary_mask_bilateral_n4(n4, kernel_size=7,
+                                               num_iterations=2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    binary = (prob > 0.5).astype(jnp.float32)
+    want_s = pp.edge_smooth_binary_mask(binary)
+    got_s = _from_n4(pp.edge_smooth_binary_mask_n4(_to_n4(binary)))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+    want_d = jax.lax.reduce_window(binary, -jnp.inf, jax.lax.max,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    got_d = _from_n4(pp.dilate_binary_n4(_to_n4(binary), pixels=1))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
