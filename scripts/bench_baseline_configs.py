@@ -186,9 +186,13 @@ def bench_distill():
     step = make_distill_train_step(student, teacher, t_vars, tx,
                                    DistillationConfig(),
                                    compute_dtype="bfloat16")
-    state = TrainState.create(
-        s_vars, tx, jax.random.PRNGKey(2),
-        distill_state=DistillationState.create(temperature=10.0))
+
+    def fresh_state():
+        # the step DONATES its input state; every chain needs its own copy
+        sv = jax.tree.map(jnp.array, s_vars)
+        return TrainState.create(
+            sv, tx, jax.random.PRNGKey(2),
+            distill_state=DistillationState.create(temperature=10.0))
 
     rng_np = np.random.default_rng(0)
     batch = {
@@ -205,7 +209,7 @@ def bench_distill():
     import time as _t
 
     def chain(iters):
-        s = state
+        s = fresh_state()
         jax.block_until_ready(jax.tree.leaves(s.params)[0])
         t0 = _t.perf_counter()
         for _ in range(iters):
@@ -213,7 +217,7 @@ def bench_distill():
         jax.block_until_ready(jax.tree.leaves(s.params)[0])
         return _t.perf_counter() - t0
 
-    run(state, batch)  # compile
+    run(fresh_state(), batch)  # compile
     chain(1)
     d1, d2 = chain(2), chain(6)
     dt = (d2 - d1) / 4
