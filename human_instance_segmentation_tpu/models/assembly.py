@@ -126,6 +126,12 @@ class HierarchicalInstanceSegmenter(nn.Module):
     pallas_tail: bool = False
     # Serving: encoder stem/stage-0/stage-1-entry in S2D(2) composed form.
     encoder_s2d_front: bool = False
+    # Serving: chain consecutive fused skip-free decoder stages in nested
+    # S2D form (ops/s2d.py::conv_up_s2d_nested) — measurable A/B switch.
+    nested_tail: bool = False
+    # Serving: last stage-1 decoder stage + seg head entirely in N4 phase
+    # form (ops/s2d.py::conv3x3_n4) — no depth_to_space, no regroup.
+    n4_tail: bool = False
     # Stage-1 decoder upsample stencil: "bilinear" (repo-trained weights) or
     # "nearest" (smp parity for converted reference checkpoints).
     stage1_upsample_mode: str = "bilinear"
@@ -143,6 +149,8 @@ class HierarchicalInstanceSegmenter(nn.Module):
             encoder_fused_blocks=self.encoder_fused_blocks,
             pallas_tail=self.pallas_tail,
             encoder_s2d_front=self.encoder_s2d_front,
+            nested_tail=self.nested_tail,
+            n4_tail=self.n4_tail,
             upsample_mode=self.stage1_upsample_mode,
             name="pretrained_unet")
         self.unet_wrapper = PeopleSegUNetWrapper(name="unet_wrapper")

@@ -24,9 +24,10 @@ import jax.numpy as jnp
 from ..ops.pallas_tail import TR as _TAIL_TR
 from ..ops.pallas_tail import tail_with_borders
 from ..ops.quant import QConv, calibrating, quant_enabled, static_scales
-from ..ops.s2d import (conv3x3_s2d, conv3x3_s2d_to_n4, conv3x3_strided_s2d,
-                       conv_up_s2d, conv_up_s2d_nested, depth_to_space,
-                       n4_regroup_to_s2d, n4_to_plain, tile_channel_params)
+from ..ops.s2d import (conv3x3_n4, conv3x3_s2d, conv3x3_s2d_to_n4,
+                       conv3x3_strided_s2d, conv_up_s2d, conv_up_s2d_nested,
+                       depth_to_space, n4_regroup_to_s2d, n4_to_plain,
+                       tile_channel_params)
 from ..ops.sampling import resize_bilinear
 from .efficientnet import EfficientNetEncoder
 
@@ -248,6 +249,12 @@ class PeopleSegmentationUNet(nn.Module):
     # previous stage fused (S2D input), a skip-free last stage, classes=1,
     # and the cell grid a multiple of the kernel's row tile.
     pallas_tail: bool = False
+    # Serving: compute the LAST decoder stage + seg head entirely in N4
+    # phase form (ops/s2d.py::conv_up_s2d_nested + conv3x3_n4) — neither
+    # the lane-padded full-res input (depth_to_space) nor the N4 -> S2D(2)
+    # regroup transpose ever materialises. Identical params/math; requires
+    # the previous stage fused (S2D input) and a skip-free last stage.
+    n4_tail: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False, raw: bool = False,
@@ -302,6 +309,25 @@ class PeopleSegmentationUNet(nn.Module):
             # tensor passes over layout-padded 5-D intermediates (traces r2).
             # Kept off; the Pallas fused tail owns this instead.
             input_s2d = self.nested_tail and h_is_s2d and use_fused and skip is None
+            if (self.n4_tail and not train and i == n - 1 and h_is_s2d
+                    and skip is None and use_fused
+                    and h.shape[1] >= 3 and h.shape[2] >= 3):
+                # N4 tail: decoder{n-1} + seg head entirely in phase form.
+                k0, bn0, k1, bn1 = _DecoderParams(ch, name=f"decoder{i}")(h.shape[-1] // 4)
+                kh, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch)
+                t16 = lambda v: jnp.tile(v.astype(h.dtype), 16)
+                y4 = conv_up_s2d_nested(h, k0, mode=self.upsample_mode)
+                s0, b0, m0, v0 = bn0
+                y4 = jax.nn.relu((y4 - t16(m0)) * jax.lax.rsqrt(t16(v0) + 1e-5)
+                                 * t16(s0) + t16(b0))
+                y4 = conv3x3_n4(y4, k1)
+                s1, b1, m1, v1 = bn1
+                y4 = jax.nn.relu((y4 - t16(m1)) * jax.lax.rsqrt(t16(v1) + 1e-5)
+                                 * t16(s1) + t16(b1))
+                y4 = conv3x3_n4(y4, kh) + jnp.tile(bsh.astype(y4.dtype), 16)
+                if raw:
+                    return "n4", y4
+                return n4_to_plain(y4, self.classes)
             if (self.pallas_tail and not train and i == n - 1 and h_is_s2d
                     and self.upsample_mode == "bilinear"
                     and skip is None and use_fused and self.classes == 1

@@ -542,6 +542,147 @@ def space_to_depth_blocks(y_s2d: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, hc, wc, 4 * c4)
 
 
+def _n4_lane(u: int, v: int, ay: int, ax: int) -> int:
+    """Phase-block index in the bit-nested N4 channel order (u, v, ay, ax)."""
+    return ((u * 2 + v) * 2 + ay) * 2 + ax
+
+
+def conv3x3_n4(x_n4: jnp.ndarray, w: jnp.ndarray,
+               qscale: float | None = None) -> jnp.ndarray:
+    """Full-res stride-1 3x3 conv (zero padding) applied in nested-S2D(4)
+    ("N4") form — the output stays N4, so the chain d4-conv1 -> seg head
+    never regroups to the 2x grid (the N4 -> S2D(2) regroup transpose was
+    the measured 5-pass epilogue that sank the nested tail in round 2).
+
+    x_n4: (B, Hg, Wg, 16*Ci), the N4 form (bit-nested phase order
+    (u, v, ay, ax)) of a (4Hg, 4Wg, Ci) map; w: (3, 3, Ci, Co)
+    -> (B, Hg, Wg, 16*Co).
+
+    Decomposition: a full-res 3x3 tap from output phase p=(py, px) reads
+    source phase q=(py+dy, px+dx); when q stays in 0..3 on both axes the
+    tap is INSIDE the same 4x4 cell — all such taps form one dense
+    (16Ci -> 16Co) matrix applied as a 1x1 conv (the MXU-shaped bulk, ~78%
+    of the true taps). Taps that cross a cell boundary exist only for the
+    extreme phases (py=0 with dy=-1, py=3 with dy=+1, same in x), giving
+    four thin edge terms (64-lane gather @ (4Ci, 4Co) matmul on a
+    cell-shifted view) and four corner terms (16 lanes @ (Ci, Co)).
+    FLOP inflation vs the exact conv is only the center matrix's zero
+    blocks (~2.2x) — far below the 16x of the naive dense N4 kernel.
+
+    Exact: an out-of-range full-res tap maps to an out-of-range cell, so
+    cell-space zero padding equals full-res zero padding (same argument as
+    :func:`conv3x3_s2d`). No border corrections needed.
+    """
+    b, hg, wg, c16 = x_n4.shape
+    ci = c16 // 16
+    co = w.shape[3]
+    wf = w.astype(jnp.float32)
+
+    # --- center: all taps with both source phases in range -------------
+    M0 = jnp.zeros((16 * ci, 16 * co), jnp.float32)
+    for pu in range(2):
+        for pv in range(2):
+            for pay in range(2):
+                for pax in range(2):
+                    py, px = 2 * pu + pay, 2 * pv + pax
+                    pb = _n4_lane(pu, pv, pay, pax)
+                    for dy in (-1, 0, 1):
+                        qy = py + dy
+                        if not 0 <= qy <= 3:
+                            continue
+                        for dx in (-1, 0, 1):
+                            qx = px + dx
+                            if not 0 <= qx <= 3:
+                                continue
+                            qb = _n4_lane(qy // 2, qx // 2, qy % 2, qx % 2)
+                            M0 = M0.at[qb * ci:(qb + 1) * ci,
+                                       pb * co:(pb + 1) * co].set(wf[dy + 1, dx + 1])
+    y = _conv_q(x_n4, M0.reshape(1, 1, 16 * ci, 16 * co), (1, 1), "VALID",
+                qscale)
+
+    def shift(sy: int, sx: int) -> jnp.ndarray:
+        # result[I] = x[I + s] per axis, zero padded at the image border
+        t = jnp.pad(x_n4, ((0, 0), (max(-sy, 0), max(sy, 0)),
+                           (max(-sx, 0), max(sx, 0)), (0, 0)))
+        return t[:, max(sy, 0):max(sy, 0) + hg, max(sx, 0):max(sx, 0) + wg]
+
+    def cat_lanes(t, starts, width):
+        return jnp.concatenate(
+            [lax.slice_in_dim(t, s, s + width, axis=3) for s in starts], -1)
+
+    def scatter_lanes(t, starts, width):
+        parts = []
+        for i, s in enumerate(starts):
+            seg = lax.slice_in_dim(t, i * width, (i + 1) * width, axis=3)
+            parts.append(jnp.pad(
+                seg, ((0, 0), (0, 0), (0, 0), (s, 16 * co - s - width))))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    dt = y.dtype
+
+    # --- y-crossing edges: (py, dy, qy) = (0, -1, 3) / (3, +1, 0) ------
+    for sy, py, qy, ky in ((-1, 0, 3, 0), (1, 3, 0, 2)):
+        # rows: fixed y-phase qy, (v, ax, ci) order — 2 blocks of 2*Ci
+        rstarts = [_n4_lane(qy // 2, v, qy % 2, 0) * ci for v in (0, 1)]
+        # cols: fixed y-phase py — 2 blocks of 2*Co
+        cstarts = [_n4_lane(py // 2, v, py % 2, 0) * co for v in (0, 1)]
+        M = jnp.zeros((4 * ci, 4 * co), jnp.float32)
+        for v in range(2):
+            for ax in range(2):
+                qx = 2 * v + ax
+                for vv in range(2):
+                    for axx in range(2):
+                        px = 2 * vv + axx
+                        if abs(qx - px) > 1:
+                            continue
+                        r0 = (v * 2 + ax) * ci
+                        c0 = (vv * 2 + axx) * co
+                        M = M.at[r0:r0 + ci, c0:c0 + co].set(
+                            wf[ky, qx - px + 1])
+        g = cat_lanes(shift(sy, 0), rstarts, 2 * ci)
+        e = jnp.einsum("bhwi,io->bhwo", g, M.astype(dt))
+        y = y + scatter_lanes(e, cstarts, 2 * co).astype(dt)
+
+    # --- x-crossing edges: (px, dx, qx) = (0, -1, 3) / (3, +1, 0) ------
+    for sx, px, qx, kx in ((-1, 0, 3, 0), (1, 3, 0, 2)):
+        # rows: fixed x-phase qx, (u, ay, ci) order — 4 blocks of Ci
+        rstarts = [_n4_lane(u, qx // 2, ay, qx % 2) * ci
+                   for u in (0, 1) for ay in (0, 1)]
+        cstarts = [_n4_lane(u, px // 2, ay, px % 2) * co
+                   for u in (0, 1) for ay in (0, 1)]
+        M = jnp.zeros((4 * ci, 4 * co), jnp.float32)
+        for u in range(2):
+            for ay in range(2):
+                qy = 2 * u + ay
+                for uu in range(2):
+                    for ayy in range(2):
+                        py = 2 * uu + ayy
+                        if abs(qy - py) > 1:
+                            continue
+                        r0 = (u * 2 + ay) * ci
+                        c0 = (uu * 2 + ayy) * co
+                        M = M.at[r0:r0 + ci, c0:c0 + co].set(
+                            wf[qy - py + 1, kx])
+        g = cat_lanes(shift(0, sx), rstarts, ci)
+        e = jnp.einsum("bhwi,io->bhwo", g, M.astype(dt))
+        y = y + scatter_lanes(e, cstarts, co).astype(dt)
+
+    # --- corners: both axes cross ---------------------------------------
+    for sy, py, qy, ky in ((-1, 0, 3, 0), (1, 3, 0, 2)):
+        for sx, px, qx, kx in ((-1, 0, 3, 0), (1, 3, 0, 2)):
+            rs = _n4_lane(qy // 2, qx // 2, qy % 2, qx % 2) * ci
+            cs = _n4_lane(py // 2, px // 2, py % 2, px % 2) * co
+            g = lax.slice_in_dim(shift(sy, sx), rs, rs + ci, axis=3)
+            e = jnp.einsum("bhwi,io->bhwo", g, wf[ky, kx].astype(dt))
+            y = y + jnp.pad(
+                e, ((0, 0), (0, 0), (0, 0), (cs, 16 * co - cs - co))).astype(dt)
+
+    return y
+
+
 def n4_regroup_to_s2d(y_n4: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`space_to_depth_blocks`: N4 (B, Hc, Wc, 16Co) ->
     S2D(2) (B, 2Hc, 2Wc, 4Co) on the doubled grid."""

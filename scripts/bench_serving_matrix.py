@@ -88,6 +88,10 @@ def main():
                 kw["int8_deny"] = ()
             elif tok.startswith("enc"):
                 mkw["encoder_fused_blocks"] = int(tok[3:])
+            elif tok == "nested":
+                mkw["nested_tail"] = True
+            elif tok == "n4t":
+                mkw["n4_tail"] = True
             elif tok == "proi":
                 mkw["pallas_roi_align"] = True
             else:

@@ -195,3 +195,47 @@ def test_conv3x3_strided_s2d_exact(rng):
     want = _conv_same(x, k)
     got = depth_to_space(conv3x3_strided_s2d(x, k), 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 3, 5), (12, 16, 16, 16), (16, 12, 16, 1)])
+def test_conv3x3_n4_exact(rng, shape):
+    """conv3x3_n4 == plain SAME 3x3 conv, evaluated wholly in N4 phase form
+    (center phase matmul + 8 thin crossing terms; zero pad exact in cell
+    space)."""
+    from human_instance_segmentation_tpu.ops.s2d import conv3x3_n4
+
+    h, w, ci, co = shape
+    x = jnp.asarray(rng.standard_normal((2, h, w, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, ci, co)), jnp.float32) * 0.1
+    want = _conv_same(x, k)
+    got_n4 = conv3x3_n4(space_to_depth(space_to_depth(x, 2), 2), k)
+    got = depth_to_space(depth_to_space(got_n4, 2), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_unet_n4_tail_matches_plain(mode):
+    """The N4 tail (last decoder stage + seg head entirely in phase form —
+    no depth_to_space, no regroup) is exact vs the plain path, and its raw
+    output is the same N4 logit contract the bucketed serving path uses."""
+    from human_instance_segmentation_tpu.ops.s2d import n4_to_plain
+
+    dec = (16, 16, 8, 8, 8)
+    plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
+                                   upsample_mode=mode)
+    n4 = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
+                                fused_tail=2, n4_tail=True, upsample_mode=mode)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
+    variables = jax.jit(lambda r: plain.init(r, x, train=False))(jax.random.PRNGKey(0))
+
+    want = plain.apply(variables, x, train=False)
+    got = n4.apply(variables, x, train=False)
+    assert got.shape == want.shape == (1, 64, 64, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    form, t = n4.apply(variables, x, train=False, raw=True)
+    assert form == "n4" and t.shape == (1, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(n4_to_plain(t)), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
