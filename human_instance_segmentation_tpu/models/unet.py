@@ -27,7 +27,7 @@ from ..ops.quant import QConv, calibrating, quant_enabled, static_scales
 from ..ops.s2d import (conv3x3_n4, conv3x3_s2d, conv3x3_s2d_to_n4,
                        conv3x3_strided_s2d, conv_up_s2d, conv_up_s2d_nested,
                        depth_to_space, n4_regroup_to_s2d, n4_to_plain,
-                       tile_channel_params)
+                       space_to_depth, tile_channel_params)
 from ..ops.sampling import resize_bilinear
 from .efficientnet import EfficientNetEncoder
 
@@ -288,10 +288,22 @@ class PeopleSegmentationUNet(nn.Module):
             return h
         n = len(self.decoder_channels)
         fused = 0 if train else self.fused_tail
+        # Serving: store the s4 skip tap (decoder2's skip) in S2D(2) form.
+        # Plain it is the worst-padded tensor in the graph (24ch at H/4
+        # pads 5.3x in HBM lanes) and its fused consumer is a K=24 strided
+        # conv; in S2D form the consumer is conv3x3_s2d with K=9*4*C —
+        # MXU-shaped. The transpose fuses into the producing stage's
+        # epilogue. Only when decoder2 will actually run fused.
+        s4_tap_s2d = (
+            len(skips) == 4 and skips[2] is not None and fused >= n - 2
+            and skips[2].shape[1] % 2 == 0 and skips[2].shape[2] % 2 == 0)
+        if s4_tap_s2d:
+            skips[2] = space_to_depth(skips[2], 2)
         h_is_s2d = False
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            skip_s2d = s2d_front and i == len(skips) - 1 and skip is not None
+            skip_s2d = skip is not None and (
+                (s2d_front and i == len(skips) - 1) or (s4_tap_s2d and i == 2))
             hh, hw = h.shape[1], h.shape[2]
             if h_is_s2d:
                 hh, hw = 2 * hh, 2 * hw  # full-res extent of the s2d form
