@@ -39,7 +39,47 @@ def detect_architecture_from_name(name: str) -> str:
     return "b1"
 
 
-def fold_batch_stats(variables: Dict[str, Any]) -> Dict[str, Any]:
+def collect_bn_eps(model, variables, image_size: Tuple[int, int],
+                   batch_size: int = 1) -> Dict[str, float]:
+    """Map module path -> BatchNorm epsilon, read from the modules themselves.
+
+    Abstractly traces ``model.apply`` under a flax method interceptor and
+    records ``module.epsilon`` for every module that declares one (nn.BatchNorm
+    and the fused-path ``_BNParams`` holders). The fold then uses the eps each
+    module actually computes with — no name-based guessing (a renamed module
+    can otherwise silently fold with the wrong eps; the encoder uses the TF
+    convention 1e-3 while decoder BNs use the torch default 1e-5).
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    eps: Dict[str, float] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        e = getattr(m, "epsilon", None)
+        if e is not None and m.path:
+            eps["/".join(m.path)] = float(e)
+        return next_fn(*args, **kwargs)
+
+    images = jax.ShapeDtypeStruct((batch_size, image_size[0], image_size[1], 3),
+                                  jnp.float32)
+    rois = jax.ShapeDtypeStruct((1, 5), jnp.float32)
+
+    def fn(v, images, rois):
+        with nn.intercept_methods(interceptor):
+            return model.apply(v, images, rois, train=False)
+
+    jax.eval_shape(fn, jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables),
+        images, rois)
+    return eps
+
+
+def fold_batch_stats(variables: Dict[str, Any],
+                     eps_by_path: Optional[Dict[str, float]] = None,
+                     default_eps: Optional[float] = None) -> Dict[str, Any]:
     """Fold BatchNorm running statistics into the adjacent scale/bias.
 
     Returns a variables dict whose 'batch_stats' are identity (mean 0,
@@ -47,6 +87,11 @@ def fold_batch_stats(variables: Dict[str, Any]) -> Dict[str, Any]:
         scale' = scale / sqrt(var + eps),  bias' = bias - mean * scale'.
     Inference output is bit-identical while every BN lowers to one fused
     multiply-add.
+
+    ``eps_by_path`` (from :func:`collect_bn_eps`) supplies each BN's epsilon
+    as the module itself declares it. A BN whose path is missing falls back
+    to ``default_eps``; with neither available the fold raises rather than
+    guess (eps 1e-3 vs 1e-5 is a ~1e-3 relative output error per BN).
     """
     import flax
     import jax.numpy as jnp
@@ -62,17 +107,22 @@ def fold_batch_stats(variables: Dict[str, Any]) -> Dict[str, Any]:
             if isinstance(s_child, dict) and "mean" in s_child and "var" in s_child:
                 mean = np.asarray(s_child["mean"])
                 var = np.asarray(s_child["var"])
-                # EfficientNet-encoder BNs use eps 1e-3 (TF convention);
-                # UNet-decoder BNs use the torch default 1e-5.
-                in_encoder = any("encoder" in str(p) for p in path + (key,))
-                e = 1e-3 if in_encoder else 1e-5
+                mod_path = "/".join(str(p) for p in path + (key,))
+                e = (eps_by_path or {}).get(mod_path, default_eps)
+                if e is None:
+                    raise ValueError(
+                        f"no epsilon known for BatchNorm at {mod_path!r}: pass "
+                        "eps_by_path=collect_bn_eps(model, variables, image_size) "
+                        "or an explicit default_eps")
                 inv = 1.0 / np.sqrt(var + e)
                 scale = np.asarray(p_child.get("scale", np.ones_like(mean)))
                 bias = np.asarray(p_child.get("bias", np.zeros_like(mean)))
                 p_child["scale"] = jnp.asarray(scale * inv)
                 p_child["bias"] = jnp.asarray(bias - mean * scale * inv)
                 s_child["mean"] = jnp.zeros_like(jnp.asarray(mean))
-                s_child["var"] = jnp.ones_like(jnp.asarray(var))
+                # var' = 1 - eps so the consumer's rsqrt(var' + eps) is
+                # exactly 1 — the fold is then bit-exact, not eps-approximate
+                s_child["var"] = jnp.full_like(jnp.asarray(var), 1.0 - e)
             elif isinstance(s_child, dict):
                 fold(p_child, s_child, path + (key,))
 
@@ -108,7 +158,8 @@ def export_model(
     d.mkdir(parents=True, exist_ok=True)
 
     if fold_bn and variables.get("batch_stats"):
-        variables = fold_batch_stats(variables)
+        variables = fold_batch_stats(
+            variables, collect_bn_eps(model, variables, image_size, batch_size))
 
     (d / "params.msgpack").write_bytes(flax.serialization.to_bytes(variables))
 
@@ -178,13 +229,29 @@ def load_exported(artifact_dir: str):
     def call(images: np.ndarray, rois: np.ndarray):
         from .inference import pad_rois
 
-        n = rois.shape[0]
-        bucket = next((b for b in buckets if b >= n), buckets[-1] if buckets else None)
-        if bucket is None:
+        if not buckets:
             raise ValueError("artifact has no serialised executables")
-        rois_p = pad_rois(np.asarray(rois, np.float32), bucket)
-        inst, binary = fns[bucket](variables, np.asarray(images, np.float32), rois_p)
-        return np.asarray(inst)[:n], np.asarray(binary)
+        n = rois.shape[0]
+        rois = np.asarray(rois, np.float32)
+        images = np.asarray(images, np.float32)
+        bucket = next((b for b in buckets if b >= n), None)
+        if bucket is not None:
+            inst, binary = fns[bucket](variables, images, pad_rois(rois, bucket))
+            return np.asarray(inst)[:n], np.asarray(binary)
+        # N above the largest serialised bucket: chunk the ROI axis across
+        # executable calls (the serialised graph is monolithic, so stage 1
+        # recomputes per chunk — correctness over peak throughput here; the
+        # live InferenceEngine compiles arbitrarily large buckets instead).
+        maxb = buckets[-1]
+        inst_parts = []
+        binary = None
+        for s in range(0, n, maxb):
+            chunk = rois[s:s + maxb]
+            inst, b_ = fns[maxb](variables, images, pad_rois(chunk, maxb))
+            inst_parts.append(np.asarray(inst)[:chunk.shape[0]])
+            if binary is None:
+                binary = np.asarray(b_)
+        return np.concatenate(inst_parts, axis=0), binary
 
     return call, meta
 

@@ -96,7 +96,12 @@ class _ConvKernel(nn.Module):
 
 
 class _BNParams(nn.Module):
-    """nn.BatchNorm's parameter/stat tree without the apply."""
+    """nn.BatchNorm's parameter/stat tree without the apply.
+
+    ``epsilon`` mirrors the encoder's nn.BatchNorm (TF convention 1e-3);
+    export's BN fold reads it via collect_bn_eps."""
+
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, c: int):

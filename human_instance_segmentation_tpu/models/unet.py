@@ -47,7 +47,13 @@ class _Conv3Params(nn.Module):
 
 
 class _BNParams(nn.Module):
-    """nn.BatchNorm's parameter/stat tree without the full-res apply."""
+    """nn.BatchNorm's parameter/stat tree without the full-res apply.
+
+    ``epsilon`` is what the fused-path apply sites use (torch default 1e-5,
+    matching the unfused nn.BatchNorm); export's BN fold reads it off the
+    module via collect_bn_eps instead of guessing from the path."""
+
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, c: int):
