@@ -89,6 +89,7 @@ def test_feature_matching_loss(rng):
     assert float(total0) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_binary_distill_step_on_mesh_matches_single_device():
     """DP distillation step over the 8-device virtual mesh: metrics equal
     the single-device step on the same global batch (grads pmean over ICI).

@@ -45,6 +45,7 @@ def test_oob_zero_padding(rng):
     assert np.asarray(out)[0, -1, -1, 0] == 0.0  # fully outside corner
 
 
+@pytest.mark.slow
 def test_flagship_pallas_roi_align_flag_matches(rng):
     """HierarchicalInstanceSegmenter(pallas_roi_align=True) serves the same
     outputs as the separable-matmul crop (interpret mode on CPU)."""

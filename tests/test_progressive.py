@@ -118,6 +118,7 @@ def test_transfer_weights_shape_mismatch_and_strict():
     assert report2["x/b/kernel"] == "suffix:y/b/kernel"
 
 
+@pytest.mark.slow
 def test_transfer_between_model_families():
     """Warm-start one model family from another: shared submodules (the RGB
     extractor) transfer; family-specific heads stay at init."""

@@ -82,6 +82,7 @@ def test_student_params_load_into_deploy_unet():
     assert out.shape == (1, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_precomputed_feature_files(tmp_path):
     """--feature-dir: train against PRECOMPUTED real-YOLO feature dumps
     (.npz with images/masks/yolo_features), rebatched and cycled. The
