@@ -238,6 +238,28 @@ def run_training(
                 save_image(
                     f"{out_dir}/visualizations/epoch{epoch:04d}_{label}.png",
                     grid)
+                # aux-head diagnostic panels (bg/fg, t/nt, fg-attention,
+                # contour, distance) per ROI — the reference's
+                # visualize_auxiliary.py view of the hierarchical head
+                from ..visualize import auxiliary_report
+
+                ih, iw = imgs[0].shape[:2]
+                crops = []
+                for box in boxes[0]:
+                    x1, y1 = int(box[0] * iw), int(box[1] * ih)
+                    x2 = max(int(box[2] * iw), x1 + 2)
+                    y2 = max(int(box[3] * ih), y1 + 2)
+                    crops.append(imgs[0][max(y1, 0):y2, max(x1, 0):x2])
+                hmax = max(c.shape[0] for c in crops)
+                wmax = max(c.shape[1] for c in crops)
+                crops = np.stack([
+                    np.pad(c, ((0, hmax - c.shape[0]), (0, wmax - c.shape[1]),
+                               (0, 0))) for c in crops])
+                auxiliary_report(
+                    crops, np.asarray(logits),
+                    {k: np.asarray(v) for k, v in aux.items()},
+                    f"{out_dir}/visualizations/epoch{epoch:04d}_{label}_aux.png",
+                    gt_masks=s["masks"])
         except Exception as e:  # viz must never kill a run
             logger.text(f"curated visualization skipped: {e}")
 

@@ -128,6 +128,104 @@ def validation_grid(
     return np.concatenate(rows, axis=0)
 
 
+def heatmap(values: np.ndarray, vmin: float = 0.0, vmax: float = 1.0) -> np.ndarray:
+    """(h, w) scalar map -> RGB 'hot'-style heatmap (black->red->yellow->white),
+    the colormap the reference's aux visualizer uses
+    (visualize_auxiliary.py:620, cmap='hot')."""
+    v = np.clip((np.squeeze(values).astype(np.float32) - vmin)
+                / max(vmax - vmin, 1e-9), 0.0, 1.0)
+    r = np.clip(3.0 * v, 0, 1)
+    g = np.clip(3.0 * v - 1.0, 0, 1)
+    b = np.clip(3.0 * v - 2.0, 0, 1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+
+
+def _softmax(x, axis=-1):
+    x = np.asarray(x, np.float64)
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def auxiliary_grid(
+    roi_image: np.ndarray,
+    pred_logits: np.ndarray,
+    aux: Dict[str, np.ndarray],
+    gt_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Aux-head panel row for ONE ROI: the debugging view of the
+    hierarchical head (parity with the reference's visualize_auxiliary.py /
+    advanced/hierarchical_unet_visualizer.py:14-60 — bg/fg branch, t/nt
+    branch, fg-attention, contour and distance aux outputs rendered next to
+    the prediction).
+
+    ``roi_image`` (h, w, 3) in [0, 1] — the RGB ROI crop; ``pred_logits``
+    (mh, mw, 3) final head logits; ``aux`` the model's aux dict sliced to
+    this ROI (arrays shaped (mh', mw', C)); ``gt_mask`` optional (mh, mw)
+    int 3-class target. Returns one (H, W_total, 3) panel strip; every
+    panel is resized to the prediction's (mh, mw).
+    """
+    from PIL import Image
+
+    mh, mw = pred_logits.shape[:2]
+
+    def fit(img01):
+        arr = np.asarray(img01, np.float32)
+        if arr.ndim == 2:
+            arr = heatmap(arr)
+        if arr.shape[:2] != (mh, mw):
+            im = Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8))
+            arr = np.asarray(im.resize((mw, mh), Image.BILINEAR), np.float32) / 255.0
+        return arr
+
+    panels = [fit(roi_image)]
+    pred_cls = np.argmax(pred_logits, axis=-1)
+    panels.append(colorize_classes(pred_cls))
+    if gt_mask is not None:
+        panels.append(colorize_classes(np.asarray(gt_mask)))
+    if "bg_fg_logits" in aux:  # P(fg) from the bg/fg branch (2-ch softmax)
+        panels.append(fit(_softmax(aux["bg_fg_logits"])[..., 1]))
+    if "target_nontarget_logits" in aux:  # P(target | fg) from the t/nt branch
+        panels.append(fit(_softmax(aux["target_nontarget_logits"])[..., 0]))
+    if "fg_attention" in aux:  # the fg_gate spatial attention map
+        att = np.asarray(aux["fg_attention"], np.float32)
+        panels.append(fit(att.mean(axis=-1) if att.ndim == 3 else att))
+    if "contours" in aux:  # contour branch (1-ch sigmoid)
+        panels.append(fit(_sigmoid(np.squeeze(aux["contours"]))))
+    if "distance_map" in aux:  # distance-transform decoder, normalised
+        d = np.asarray(np.squeeze(aux["distance_map"]), np.float32)
+        panels.append(fit(d / max(float(d.max()), 1e-6)))
+    if "distance_mask" in aux:
+        panels.append(fit(_sigmoid(np.squeeze(aux["distance_mask"]))))
+    return np.concatenate(panels, axis=1)
+
+
+def auxiliary_report(
+    roi_images: np.ndarray,
+    pred_logits: np.ndarray,
+    aux: Dict[str, np.ndarray],
+    path: str,
+    gt_masks: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Stack :func:`auxiliary_grid` rows for N ROIs and write one PNG —
+    the per-epoch aux diagnostic image (visualize_auxiliary.py behaviour).
+    ``aux`` holds batched arrays (N, h, w, C); rows are per-ROI slices.
+    """
+    rows = []
+    for i in range(pred_logits.shape[0]):
+        aux_i = {k: np.asarray(v)[i] for k, v in aux.items()
+                 if hasattr(v, "ndim") and np.asarray(v).ndim == 4}
+        rows.append(auxiliary_grid(
+            roi_images[i], pred_logits[i], aux_i,
+            None if gt_masks is None else gt_masks[i]))
+    grid = np.concatenate(rows, axis=0)
+    save_image(path, grid)
+    return grid
+
+
 def confusion_matrix_png(
     cm,
     class_names: Sequence[str],

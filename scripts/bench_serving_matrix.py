@@ -94,6 +94,12 @@ def main():
                 mkw["n4_tail"] = True
             elif tok == "proi":
                 mkw["pallas_roi_align"] = True
+            elif tok.startswith("tq"):
+                # lower the tail-quant feature gate (r4: re-measure d4/head
+                # int8 — XLA's s8 conv lowering changed since the r2 numbers
+                # that set TAIL_QUANT_MIN_FEATURES=32)
+                from human_instance_segmentation_tpu.ops import quant as _q
+                _q.TAIL_QUANT_MIN_FEATURES = int(tok[2:])
             else:
                 raise ValueError(f"unknown mode token {tok!r}")
         return kw, mkw

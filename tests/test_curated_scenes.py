@@ -72,3 +72,6 @@ def test_curated_scenes_rendered_each_validation_epoch(coco_tree, tmp_path):
     assert any("3person" in v for v in viz), viz
     epochs = {v.split("_")[0] for v in viz}
     assert len(epochs) >= 2, viz  # rendered at more than one epoch
+    # aux-head diagnostic panels next to every curated grid
+    # (visualize_auxiliary.py parity)
+    assert any(v.endswith("_aux.png") for v in viz), viz
