@@ -174,12 +174,22 @@ class DecoderBlock(nn.Module):
                 qs = _tail_qscales(self, ("x", "skip", "mid"))
             else:
                 qs = {"x": None, "skip": None, "mid": None}
-            y = conv_up_s2d(x, k0[:, :, :cx], qscale=qs["x"],
-                            mode=self.upsample_mode)
+            from ..ops.s2d import quantize_static
+
+            def prequant(t, sc):
+                # producer-side quantize + fusion cut (see the qs["mid"]
+                # barrier note below); _conv_q accepts the s8 tensor
+                if sc is None or t.dtype == jnp.int8:
+                    return t
+                return jax.lax.optimization_barrier(quantize_static(t, sc))
+
+            y = conv_up_s2d(prequant(x, qs["x"]), k0[:, :, :cx],
+                            qscale=qs["x"], mode=self.upsample_mode)
             if skip_is_s2d:
                 # S2D skip (encoder s2d_front): same full-res 3x3 conv math
                 # directly on the phase form
-                y = y + conv3x3_s2d(skip, k0[:, :, cx:], qscale=qs["skip"])
+                y = y + conv3x3_s2d(prequant(skip, qs["skip"]),
+                                    k0[:, :, cx:], qscale=qs["skip"])
             elif skip is not None:
                 # one 4x4 stride-2 conv straight off the full-res skip — no
                 # space_to_depth relayout (profile_fused_parts.py: ~3.7 ms)
@@ -188,6 +198,17 @@ class DecoderBlock(nn.Module):
             y = _bn_relu_s2d(y, s0, b0, m0, v0)
             if calibrating():
                 _sow_amax(self, "mid", y)
+            if qs["mid"] is not None:
+                # Quantize in the producer epilogue, then CUT the fusion:
+                # without the barrier XLA fuses bn+relu+quantize into the
+                # consumer conv's operand and the int8 conv runs 3-6x slower
+                # than bf16 (6.98 -> 14.92 ms/batch at decoder-4 shapes,
+                # scripts/exp_r4_d4int8.py) — the same operand-fusion
+                # pathology the conv_up border merge hits, now on the
+                # quantize chain.
+                from ..ops.s2d import quantize_static
+                y = jax.lax.optimization_barrier(
+                    quantize_static(y, qs["mid"]))
             y = conv3x3_s2d(y, k1, qscale=qs["mid"])
             return _bn_relu_s2d(y, s1, b1, m1, v1)
 
@@ -346,16 +367,42 @@ class PeopleSegmentationUNet(nn.Module):
                 if raw:
                     return "n4", y4
                 return n4_to_plain(y4, self.classes)
-            if (self.pallas_tail and not train and i == n - 1 and h_is_s2d
+            if (self.pallas_tail and not train and not calibrating()
+                    and i == n - 1 and h_is_s2d
                     and self.upsample_mode == "bilinear"
                     and skip is None and use_fused and self.classes == 1
                     and h.shape[1] % _TAIL_TR == 0 and h.shape[1] >= 2 * _TAIL_TR
                     and h.shape[2] % 8 == 0):
                 # Pallas fused tail: decoder{n-1} + seg head in one kernel;
                 # parameter tree identical to the unfused path by name.
+                # (Calibration passes take the plain fused path instead so
+                # the #x/#mid/#head amax points get sown.)
                 k0, bn0, k1, bn1 = _DecoderParams(ch, name=f"decoder{i}")(h.shape[-1] // 4)
                 kh, bsh = _Conv3Params(self.classes, use_bias=True, name="seg_head")(ch)
-                y = tail_with_borders(h, k0, bn0, k1, bn1, kh, bsh)
+                tail_scales = None
+                if quant_enabled():
+                    # calibrated static scales for the s8 tail kernel — the
+                    # same quantization points the XLA qscale path uses
+                    sc = static_scales() or {}
+                    p = "/".join(self.path)
+                    pfx = p + "/" if p else ""
+                    tail_scales = (sc.get(f"{pfx}decoder{i}#x"),
+                                   sc.get(f"{pfx}decoder{i}#mid"),
+                                   sc.get(f"{p}#head" if p else "#head"))
+                    if None in tail_scales:
+                        tail_scales = None
+                if tail_scales is not None:
+                    # s8 MXU tail (ops/pallas_tail_q.py): XLA's s8 lowering
+                    # is pathological at these shapes in context (6.98 ->
+                    # 18.24 ms/batch, scripts/exp_r4_d4int8.py); the Pallas
+                    # kernel runs the same per-phase matmuls at the MXU's
+                    # int8 rate with all intermediates VMEM-resident.
+                    from ..ops.pallas_tail_q import tail_with_borders_q
+
+                    y = tail_with_borders_q(h, k0, bn0, k1, bn1, kh, bsh,
+                                            *tail_scales)
+                else:
+                    y = tail_with_borders(h, k0, bn0, k1, bn1, kh, bsh)
                 return ("dense", y) if raw else y[..., None]
             if h_is_s2d and not input_s2d:
                 h = depth_to_space(h, 2)
@@ -377,8 +424,14 @@ class PeopleSegmentationUNet(nn.Module):
             if h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0:
                 # one strided conv -> nested S2D(4) logits; the C=classes
                 # full-res tensor (32x lane-padded on TPU) never exists
+                hdt = h.dtype
+                if qh is not None:
+                    # producer-side quantize + fusion cut (same operand-
+                    # fusion pathology as the decoder mid boundary)
+                    from ..ops.s2d import quantize_static
+                    h = jax.lax.optimization_barrier(quantize_static(h, qh))
                 y4 = conv3x3_s2d_to_n4(h, k, qscale=qh) + tile_channel_params(
-                    bsh.astype(h.dtype), 4)
+                    bsh.astype(hdt), 4)
                 if raw:
                     return "n4", y4
                 return n4_to_plain(y4, self.classes)

@@ -94,6 +94,10 @@ def main():
                 mkw["n4_tail"] = True
             elif tok == "proi":
                 mkw["pallas_roi_align"] = True
+            elif tok == "ptail":
+                # d4 + seg head through the Pallas tail (bf16 kernel, or
+                # the s8 kernel when combined with int8 — ops/pallas_tail_q)
+                mkw["pallas_tail"] = True
             elif tok.startswith("tq"):
                 # lower the tail-quant feature gate (r4: re-measure d4/head
                 # int8 — XLA's s8 conv lowering changed since the r2 numbers
