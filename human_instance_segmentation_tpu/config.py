@@ -68,6 +68,12 @@ class ModelConfig:
     # Hierarchical head capacity
     hierarchical_base_channels: int = 64
     hierarchical_depth: int = 3
+    # Stage-2 head width (mid_channels of the hierarchical heads). The
+    # reference hardcodes 256 (hierarchical_segmentation_rgb.py:657-673);
+    # 128 is the "fast" serving family distilled from the 256-wide
+    # flagship (stage-2 carries 68% of program FLOPs — scripts/
+    # profile_stage2.py — and the head stack scales quadratically here).
+    head_mid_channels: int = 256
     # Multi-scale RGB
     multi_scale: bool = False
     roi_sizes: Optional[Tuple[int, ...]] = None
@@ -386,6 +392,20 @@ def _build_registry() -> Dict[str, ExperimentConfig]:
         use_distance_transform=True, use_contour_detection=True,
         use_boundary_aware_loss=True, hierarchical_base_channels=96)
 
+    # "Fast" serving flagship: identical pipeline with a 128-wide stage-2
+    # head (half mid_channels). No reference analogue — it exists because
+    # stage-2 is 68% of the TPU program's FLOPs and the head stack scales
+    # ~quadratically in mid_channels; trained by hierarchical KD from the
+    # 256-wide flagship (training/distill.py:make_hierarchical_distill_step,
+    # scripts/exp_b0_fast.py records the accuracy delta).
+    fast_name = base_name + "_fast"
+    r[fast_name] = _base_v2(
+        fast_name, (64, 48), (64, 48), use_pretrained_unet=True,
+        use_full_image_unet=True, freeze_pretrained_weights=True,
+        use_distance_transform=True, use_contour_detection=True,
+        use_boundary_aware_loss=True, hierarchical_base_channels=96,
+        head_mid_channels=128)
+
     # Progressive feature activation on the flagship: refinement loss terms
     # switch on at scheduled epochs (the reference's base_epochs=10 default
     # ladder, experiments/progressive_training.py:29-36) while the model —
@@ -619,6 +639,7 @@ def model_from_config(cfg: ExperimentConfig):
             use_subpixel_conv=m.use_subpixel_conv,
             base_channels=m.hierarchical_base_channels,
             depth=m.hierarchical_depth,
+            mid_channels=m.head_mid_channels,
             freeze_pretrained=m.freeze_pretrained_weights,
             **common)
     if m.use_pretrained_unet:

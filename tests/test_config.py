@@ -188,3 +188,21 @@ def test_roi_pretrained_model_forward():
 def test_unknown_config_raises():
     with pytest.raises(KeyError):
         ConfigManager.get_config("definitely_not_a_config")
+
+
+def test_fast_flagship_config_halves_head_width():
+    """The b0-fast serving config: identical pipeline, 128-wide stage-2
+    head, distilled from the 256-wide flagship (scripts/exp_b0_fast.py).
+    No reference analogue — stage-2 is 68% of the TPU program's FLOPs."""
+    from human_instance_segmentation_tpu.config import model_from_config
+
+    fast = ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m64x48_disttrans_contdet_baware_fast")
+    assert fast.model.head_mid_channels == 128
+    m = model_from_config(fast)
+    assert m.mid_channels == 128
+    base = ConfigManager.get_config(
+        "rgb_hierarchical_unet_v2_fullimage_pretrained_peopleseg_"
+        "r64x48m64x48_disttrans_contdet_baware")
+    assert model_from_config(base).mid_channels == 256
