@@ -34,16 +34,16 @@ from jax import lax
 
 _STATE = threading.local()
 
-# Composed S2D decoder-tail convs: int8 helps only where XLA's s8 conv
-# lowering stays MXU-shaped. Isolated (batch 32, v5e,
-# scripts/profile_tail_int8.py): decoder2 (60x80 grid, 64ch) 1.53 -> 1.00
-# ms; decoder3 (120x160, 32ch) 1.57 -> 1.82; decoder4 (240x320, 16ch)
-# 5.4 -> 16.5 — high-res small-channel s8 convs lower catastrophically.
-# End-to-end flagship int8 (bench_serving_matrix, ms/batch): no tail quant
-# 39.51; all stages 38.59; >=64 (d2 only) 39.09; >=32 (d2+d3) 37.99 — the
-# in-context economics differ from isolated (int8 stage boundaries halve
-# the inter-stage relayout bytes), and d2+d3 is the measured optimum.
-TAIL_QUANT_MIN_FEATURES = 32
+# Composed S2D decoder-tail convs: round 3 gated decoder4 + the seg head
+# OUT of int8 (>=32) because their s8 convs measured catastrophically slow
+# in context. Round 4 found the real cause: XLA fuses the bn+relu+quantize
+# chain into the CONSUMER conv's operand (recomputed per halo read) unless
+# an optimization_barrier cuts it — with producer-side quantize + barriers
+# (models/unet.py) the full tail quantizes cleanly: bench_serving_matrix
+# int8+fused_head 36.4 ms/batch vs +tq16 34.6 (878 -> 925 img/s), and
+# tq1 == tq16 (every tail stage is already >=16). Gate kept as a
+# measurable knob; 16 = everything.
+TAIL_QUANT_MIN_FEATURES = 16
 
 
 def quant_enabled() -> bool:
@@ -180,6 +180,13 @@ def qconv2d(
         else:
             sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-6) / 127.0
         xq = quantize_symmetric(x, sx)
+        # Cut the fusion between the quantize chain and the conv operand:
+        # XLA otherwise fuses round/clip/convert (plus whatever produced x)
+        # INTO the conv's operand read, recomputing it per halo — measured
+        # 3-6x conv slowdowns at decoder-tail shapes (scripts/
+        # exp_r4_d4int8.py) and the likely encoder int8 loss. The barrier
+        # still lets the quantize fuse FORWARD into x's producer epilogue.
+        xq = lax.optimization_barrier(xq)
         out_dtype = x.dtype
     sw = jnp.maximum(
         jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32), 1e-8) / 127.0

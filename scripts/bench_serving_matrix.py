@@ -98,6 +98,11 @@ def main():
                 # d4 + seg head through the Pallas tail (bf16 kernel, or
                 # the s8 kernel when combined with int8 — ops/pallas_tail_q)
                 mkw["pallas_tail"] = True
+            elif tok == "mid128":
+                # b0-fast serving row: 128-wide stage-2 head (the config
+                # registry's *_fast family; params are re-initialised since
+                # the tree differs from the 256-wide flagship)
+                mkw["mid_channels"] = 128
             elif tok.startswith("tq"):
                 # lower the tail-quant feature gate (r4: re-measure d4/head
                 # int8 — XLA's s8 conv lowering changed since the r2 numbers
@@ -122,7 +127,14 @@ def main():
 
     for mode in modes:
         kw, mkw = parse_mode(mode)
-        eng = InferenceEngine(model_for(mkw), params, dilation_pixels=1,
+        mode_params = params
+        if "mid_channels" in mkw:  # different parameter tree: re-init
+            _, mode_params = create_flagship(
+                variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+                image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
+                **mkw)
+            mode_params = cast_floating(mode_params, jnp.bfloat16)
+        eng = InferenceEngine(model_for(mkw), mode_params, dilation_pixels=1,
                               dtype=jnp.bfloat16, **kw)
         if kw.get("quantize"):
             eng.calibrate(np.asarray(images, np.float32), np.asarray(rois))
