@@ -45,6 +45,15 @@ _STATE = threading.local()
 # measurable knob; 16 = everything.
 TAIL_QUANT_MIN_FEATURES = 16
 
+# Lower 1x1 stride-1 QConvs as s8xs8->s32 dot_general over flattened
+# pixels instead of conv_general_dilated (see qconv2d). Negative result
+# (scripts/exp_r4_enc_dot.py, encoder batch 32): numerically exact but
+# 13.06 ms vs 11.88 conv-lowered vs 11.30 bf16 — the (B,H,W,C)->(BHW,C)
+# collapse forces a relayout that costs more than the s8 conv lowering
+# loses, so the encoder int8 deficit is byte/fusion-bound, not a matmul
+# lowering problem. Kept as an opt-in knob.
+ONE_BY_ONE_AS_DOT = False
+
 
 def quant_enabled() -> bool:
     return getattr(_STATE, "enabled", False)
@@ -191,11 +200,24 @@ def qconv2d(
     sw = jnp.maximum(
         jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32), 1e-8) / 127.0
     wq = quantize_symmetric(w, sw)
-    y = lax.conv_general_dilated(
-        xq, wq, strides, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
+    if ONE_BY_ONE_AS_DOT and w.shape[0] == w.shape[1] == 1 \
+            and tuple(strides) == (1, 1):
+        # 1x1 stride-1 conv IS a matmul over the flattened pixel axis.
+        # XLA's s8 conv lowering loses at low-channel/high-res shapes (the
+        # reason the encoder was denylisted); s8xs8->s32 dot_general is the
+        # native MXU form and sidesteps that lowering entirely.
+        b_, h_, w_, ci = xq.shape
+        y = lax.dot_general(
+            xq.reshape(b_ * h_ * w_, ci), wq.reshape(ci, -1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(b_, h_, w_, -1)
+    else:
+        y = lax.conv_general_dilated(
+            xq, wq, strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
     return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
 

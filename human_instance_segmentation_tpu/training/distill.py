@@ -144,8 +144,15 @@ def make_hierarchical_distill_step(
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        s_logits, s_aux = student_model.apply(
-            variables, batch["images"], rois, train=True, rngs={"dropout": rng})
+            (s_logits, s_aux), updates = student_model.apply(
+                variables, batch["images"], rois, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            new_stats = updates["batch_stats"]
+        else:
+            s_logits, s_aux = student_model.apply(
+                variables, batch["images"], rois, train=True,
+                rngs={"dropout": rng})
+            new_stats = batch_stats
         b, k = batch["boxes"].shape[:2]
         mh, mw = batch["masks"].shape[-2:]
         targets = batch["masks"].reshape(b * k, mh, mw)
@@ -156,18 +163,20 @@ def make_hierarchical_distill_step(
             s_logits, t_logits, s_aux, t_aux, base,
             temperature=temperature, alpha=alpha, aux_weight=aux_weight)
         metrics.update(kd_metrics)
-        return total, (new_loss_state, metrics)
+        return total, (new_loss_state, new_stats, metrics)
 
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         if axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        (loss, (nls, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (nls, nstats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.loss_state, rng, batch)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             metrics = jax.lax.pmean(metrics, axis)
             nls = jax.lax.pmean(nls, axis)
+            nstats = jax.lax.pmean(nstats, axis)
             loss = jax.lax.pmean(loss, axis)
         ok = jnp.logical_and(jnp.isfinite(optax.global_norm(grads)), jnp.isfinite(loss))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -177,6 +186,7 @@ def make_hierarchical_distill_step(
             step=state.step + 1,
             params=sel(new_params, state.params),
             opt_state=sel(new_opt, state.opt_state),
+            batch_stats=sel(nstats, state.batch_stats),
             loss_state=sel(nls, state.loss_state),
             skipped=state.skipped + jnp.where(ok, 0, 1).astype(state.skipped.dtype),
         ), metrics
