@@ -51,11 +51,24 @@ def main():
     from human_instance_segmentation_tpu.inference import (
         InferenceEngine, cast_floating, create_flagship)
 
-    modes = sys.argv[1:] or ["base", "int8", "fused_head", "const", "int8+const"]
-    batch, ih, iw = 32, 480, 640
+    argv = sys.argv[1:]
+    # --variant b0|b1|b7 selects the flagship family at its BASELINE.md
+    # deployment shape (reference README.md:540-575 / 446-449)
+    variant = "b0"
+    if argv and argv[0] == "--variant":
+        variant = argv[1]
+        argv = argv[2:]
+    modes = argv or ["base", "int8", "fused_head", "const", "int8+const"]
+    SHAPES = {
+        "b0": dict(batch=32, ih=480, iw=640, roi=(64, 48), mask=(128, 96)),
+        "b1": dict(batch=16, ih=640, iw=640, roi=(80, 60), mask=(160, 120)),
+        "b7": dict(batch=8, ih=480, iw=640, roi=(128, 96), mask=(256, 192)),
+    }
+    sh = SHAPES[variant]
+    batch, ih, iw = sh["batch"], sh["ih"], sh["iw"]
 
     model, params = create_flagship(
-        variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+        variant=variant, roi_size=sh["roi"], mask_size=sh["mask"],
         image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True)
     params = cast_floating(params, jnp.bfloat16)
 
@@ -121,7 +134,7 @@ def main():
         from human_instance_segmentation_tpu.models.assembly import (
             HierarchicalInstanceSegmenter)
         return HierarchicalInstanceSegmenter(
-            encoder_variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+            encoder_variant=variant, roi_size=sh["roi"], mask_size=sh["mask"],
             image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
             **mkw)
 
@@ -130,7 +143,7 @@ def main():
         mode_params = params
         if "mid_channels" in mkw:  # different parameter tree: re-init
             _, mode_params = create_flagship(
-                variant="b0", roi_size=(64, 48), mask_size=(128, 96),
+                variant=variant, roi_size=sh["roi"], mask_size=sh["mask"],
                 image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
                 **mkw)
             mode_params = cast_floating(mode_params, jnp.bfloat16)
@@ -146,7 +159,7 @@ def main():
             return inst, binary
 
         dt = slope_time(call)
-        print(f"{mode:11s} {dt*1e3:8.3f} ms/batch  {batch/dt:7.1f} img/s", flush=True)
+        print(f"{variant} {mode:11s} {dt*1e3:8.3f} ms/batch  {batch/dt:7.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":
