@@ -52,7 +52,23 @@ TAIL_QUANT_MIN_FEATURES = 16
 # collapse forces a relayout that costs more than the s8 conv lowering
 # loses, so the encoder int8 deficit is byte/fusion-bound, not a matmul
 # lowering problem. Kept as an opt-in knob.
+# NOTE: read at TRACE time, not part of any jit cache key — flipping it
+# after a function compiled keeps the old lowering. Re-jit (fresh
+# jax.jit / InferenceEngine, like exp_r4_enc_dot.py does) after changing.
 ONE_BY_ONE_AS_DOT = False
+
+
+def _padding_is_zero(padding) -> bool:
+    """True when the dot_general lowering of a 1x1 stride-1 conv is shape-
+    correct: named modes are fine (SAME == VALID for k=1), explicit pads
+    must be all-zero (nonzero pads change the OUTPUT shape, which the
+    flattened matmul cannot reproduce)."""
+    if isinstance(padding, str):
+        return True
+    try:
+        return all(p == 0 for pair in padding for p in pair)
+    except TypeError:
+        return padding == 0
 
 
 def quant_enabled() -> bool:
@@ -201,7 +217,7 @@ def qconv2d(
         jnp.max(jnp.abs(w), axis=(0, 1, 2)).astype(jnp.float32), 1e-8) / 127.0
     wq = quantize_symmetric(w, sw)
     if ONE_BY_ONE_AS_DOT and w.shape[0] == w.shape[1] == 1 \
-            and tuple(strides) == (1, 1):
+            and tuple(strides) == (1, 1) and _padding_is_zero(padding):
         # 1x1 stride-1 conv IS a matmul over the flattened pixel axis.
         # XLA's s8 conv lowering loses at low-channel/high-res shapes (the
         # reason the encoder was denylisted); s8xs8->s32 dot_general is the

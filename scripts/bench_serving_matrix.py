@@ -51,19 +51,20 @@ def main():
     from human_instance_segmentation_tpu.inference import (
         InferenceEngine, cast_floating, create_flagship)
 
-    argv = sys.argv[1:]
-    # --variant b0|b1|b7 selects the flagship family at its BASELINE.md
-    # deployment shape (reference README.md:540-575 / 446-449)
-    variant = "b0"
-    if argv and argv[0] == "--variant":
-        variant = argv[1]
-        argv = argv[2:]
-    modes = argv or ["base", "int8", "fused_head", "const", "int8+const"]
     SHAPES = {
         "b0": dict(batch=32, ih=480, iw=640, roi=(64, 48), mask=(128, 96)),
         "b1": dict(batch=16, ih=640, iw=640, roi=(80, 60), mask=(160, 120)),
         "b7": dict(batch=8, ih=480, iw=640, roi=(128, 96), mask=(256, 192)),
     }
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--variant", choices=sorted(SHAPES), default="b0",
+                    help="flagship family at its BASELINE.md deployment shape "
+                         "(reference README.md:540-575 / 446-449)")
+    ap.add_argument("modes", nargs="*",
+                    default=["base", "int8", "fused_head", "const", "int8+const"])
+    ns = ap.parse_args()
+    variant, modes = ns.variant, ns.modes
     sh = SHAPES[variant]
     batch, ih, iw = sh["batch"], sh["ih"], sh["iw"]
 
@@ -99,6 +100,18 @@ def main():
                 kw["const_params"] = True
             elif tok == "noqdeny":
                 kw["int8_deny"] = ()
+            elif tok.startswith("qonly"):
+                # r5 per-stage encoder int8 probe: quantize ONLY encoder
+                # stage <N> (deny every other stage), with the r4 producer-
+                # side barrier in effect. qonly3 => stage 3 int8, rest bf16.
+                keep = int(tok[5:])
+                kw["int8_deny"] = tuple(
+                    f"encoder/stage{s}_" for s in range(7) if s != keep)
+            elif tok.startswith("qallow"):
+                # allow a comma-free list of stages, e.g. qallow345
+                keep = {int(c) for c in tok[6:]}
+                kw["int8_deny"] = tuple(
+                    f"encoder/stage{s}_" for s in range(7) if s not in keep)
             elif tok.startswith("enc"):
                 mkw["encoder_fused_blocks"] = int(tok[3:])
             elif tok == "nested":
@@ -111,11 +124,12 @@ def main():
                 # d4 + seg head through the Pallas tail (bf16 kernel, or
                 # the s8 kernel when combined with int8 — ops/pallas_tail_q)
                 mkw["pallas_tail"] = True
-            elif tok == "mid128":
-                # b0-fast serving row: 128-wide stage-2 head (the config
+            elif tok.startswith("mid"):
+                # b0-fast serving rows: narrow stage-2 head (the config
                 # registry's *_fast family; params are re-initialised since
-                # the tree differs from the 256-wide flagship)
-                mkw["mid_channels"] = 128
+                # the tree differs from the 256-wide flagship). mid128 /
+                # mid96 / mid64 ...
+                mkw["mid_channels"] = int(tok[3:])
             elif tok.startswith("tq"):
                 # lower the tail-quant feature gate (r4: re-measure d4/head
                 # int8 — XLA's s8 conv lowering changed since the r2 numbers
@@ -160,6 +174,34 @@ def main():
 
         dt = slope_time(call)
         print(f"{variant} {mode:11s} {dt*1e3:8.3f} ms/batch  {batch/dt:7.1f} img/s", flush=True)
+        record_result("serving_matrix", {
+            "variant": variant, "mode": mode, "batch": batch,
+            "image": [ih, iw], "roi": list(sh["roi"]), "mask": list(sh["mask"]),
+            "ms_per_batch": round(dt * 1e3, 3),
+            "images_per_sec": round(batch / dt, 1),
+        })
+
+
+def record_result(kind: str, row: dict) -> None:
+    """Append a machine-readable result row to scripts/results/<kind>.jsonl.
+
+    Every number quoted in README/commits must trace to one of these
+    committed artifacts (round-5 evidence-hygiene contract)."""
+    import json
+    import os
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    outdir = os.path.join(here, "results")
+    os.makedirs(outdir, exist_ok=True)
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=here).stdout.strip()
+    except Exception:
+        rev = ""
+    row = {"git": rev, **row}
+    with open(os.path.join(outdir, f"{kind}.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

@@ -20,14 +20,17 @@ from human_instance_segmentation_tpu.models.assembly import HierarchicalInstance
 
 @pytest.fixture(scope="module")
 def tiny_model():
+    from helpers import fast_init
+
     model = HierarchicalInstanceSegmenter(
         encoder_variant="tiny", roi_size=(16, 12), mask_size=(32, 24),
         image_size=(64, 64), base_channels=16, depth=2, mid_channels=32,
         feature_dim=32, unet_decoder_channels=(32, 24, 16, 16, 8))
     images = jnp.zeros((1, 64, 64, 3), jnp.float32)
     rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, images, rois, train=False))(
-        jax.random.PRNGKey(0))
+    # fast_init (tests/helpers.py): every consumer here checks equivalence
+    # between two serving paths of the SAME params — init values are free
+    variables = fast_init(model, images, rois, train=False)
     return model, variables
 
 

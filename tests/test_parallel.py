@@ -20,14 +20,17 @@ from human_instance_segmentation_tpu.training.steps import make_train_step
 
 @pytest.fixture(scope="module")
 def tiny():
+    from helpers import fast_init
+
     model = HierarchicalInstanceSegmenter(
         encoder_variant="tiny", roi_size=(8, 8), mask_size=(16, 16),
         image_size=(32, 32), base_channels=8, depth=2, mid_channels=16,
         feature_dim=16, unet_decoder_channels=(16, 16, 8, 8, 8))
     images = jnp.zeros((1, 32, 32, 3), jnp.float32)
     rois = jnp.asarray([[0.0, 0.2, 0.2, 0.8, 0.8]], jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, images, rois, train=False))(
-        jax.random.PRNGKey(0))
+    # fast_init: all consumers compare mesh vs single-device outputs of the
+    # SAME params — init values are free (tests/helpers.py)
+    variables = fast_init(model, images, rois, train=False)
     return model, variables
 
 

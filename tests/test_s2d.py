@@ -98,15 +98,27 @@ def test_decoder_block_nearest_fused_matches_plain(rng, with_skip):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
-def test_unet_nearest_fused_tail_matches_plain():
+@pytest.fixture(scope="module")
+def unet_tiny():
+    """One shared fast_init (tests/helpers.py) for every UNet-tail
+    equivalence test below — the plain/fused/n4/nearest variants all share
+    the exact same parameter tree by construction, and these tests only
+    compare two serving paths of the SAME params."""
+    from helpers import fast_init
+
     dec = (16, 16, 8, 8, 8)
+    plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
+    return dec, x, fast_init(plain, x, train=False)
+
+
+def test_unet_nearest_fused_tail_matches_plain(unet_tiny):
+    dec, x, variables = unet_tiny
     plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
                                    upsample_mode="nearest")
     fused = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
                                    upsample_mode="nearest", fused_tail=2)
     bil = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec)
-    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
-    variables = jax.jit(lambda r: plain.init(r, x, train=False))(jax.random.PRNGKey(0))
     want = plain.apply(variables, x, train=False)
     got = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
@@ -215,19 +227,17 @@ def test_conv3x3_n4_exact(rng, shape):
 
 
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
-def test_unet_n4_tail_matches_plain(mode):
+def test_unet_n4_tail_matches_plain(mode, unet_tiny):
     """The N4 tail (last decoder stage + seg head entirely in phase form —
     no depth_to_space, no regroup) is exact vs the plain path, and its raw
     output is the same N4 logit contract the bucketed serving path uses."""
     from human_instance_segmentation_tpu.ops.s2d import n4_to_plain
 
-    dec = (16, 16, 8, 8, 8)
+    dec, x, variables = unet_tiny
     plain = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
                                    upsample_mode=mode)
     n4 = PeopleSegmentationUNet(encoder_variant="tiny", decoder_channels=dec,
                                 fused_tail=2, n4_tail=True, upsample_mode=mode)
-    x = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)).astype(np.float32))
-    variables = jax.jit(lambda r: plain.init(r, x, train=False))(jax.random.PRNGKey(0))
 
     want = plain.apply(variables, x, train=False)
     got = n4.apply(variables, x, train=False)

@@ -60,9 +60,14 @@ def test_converter_validates_and_transposes(tmp_path):
                                   str(tmp_path / "none.npz"))
 
 
+@pytest.mark.slow
 def test_multiscale_trains_one_step_on_fixture(tmp_path):
     """The multi-scale family runs a real gradient step against the golden
-    fixture's feature pyramid — the schema IS what the model consumes."""
+    fixture's feature pyramid — the schema IS what the model consumes.
+
+    Slow tier: the grad-of-apply trace costs ~70 s on the CPU backend; the
+    fast tier still covers the fixture schema (tests above) and the model
+    forward (test_model_families.py)."""
     from human_instance_segmentation_tpu.models.multiscale import (
         MultiScaleSegmentationModel)
 
