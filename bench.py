@@ -30,6 +30,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache (axon IFRT sidechannel): repeated runs of
+    # the identical served program skip the multi-minute remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from human_instance_segmentation_tpu.inference import (

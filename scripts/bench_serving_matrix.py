@@ -48,6 +48,10 @@ def slope_time(call, i1=5, i2=25):
 
 def main():
     global ARGS
+    # persistent compile cache (the axon IFRT hook keys it by program
+    # fingerprint): identical re-runs skip the multi-minute remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from human_instance_segmentation_tpu.inference import (
         InferenceEngine, cast_floating, create_flagship)
 
@@ -130,6 +134,11 @@ def main():
                 # the tree differs from the 256-wide flagship). mid128 /
                 # mid96 / mid64 ...
                 mkw["mid_channels"] = int(tok[3:])
+            elif tok.startswith("fd"):
+                # narrow RGB-extractor/feature dim (stage-2's other FLOP
+                # axis; reference hardcodes 256 via feature_combiner,
+                # hierarchical_segmentation_rgb.py:657-673)
+                mkw["feature_dim"] = int(tok[2:])
             elif tok.startswith("tq"):
                 # lower the tail-quant feature gate (r4: re-measure d4/head
                 # int8 — XLA's s8 conv lowering changed since the r2 numbers
@@ -155,7 +164,8 @@ def main():
     for mode in modes:
         kw, mkw = parse_mode(mode)
         mode_params = params
-        if "mid_channels" in mkw:  # different parameter tree: re-init
+        if "mid_channels" in mkw or "feature_dim" in mkw:
+            # different parameter tree: re-init
             _, mode_params = create_flagship(
                 variant=variant, roi_size=sh["roi"], mask_size=sh["mask"],
                 image_size=(ih, iw), fused_tail=3, encoder_s2d_front=True,
