@@ -29,6 +29,10 @@ import numpy as np
 from .models.assembly import HierarchicalInstanceSegmenter
 from .models.postprocess import mask_dilation_logit_boost
 
+# Default int8 denylist: the measured-loser encoder stages (0-3, the
+# high-res ones). See InferenceEngine.__init__ for the per-stage table.
+ENCODER_INT8_DENY = tuple(f"encoder/stage{s}_" for s in range(4))
+
 
 def cast_floating(tree, dtype):
     """Cast floating leaves of a pytree (params) to ``dtype`` (bf16 serving)."""
@@ -104,16 +108,19 @@ class InferenceEngine:
         fused_head: bool = False,
         const_params: bool = False,
         mesh: Optional[jax.sharding.Mesh] = None,
-        int8_deny: Tuple[str, ...] = ("encoder/",),
+        int8_deny: Tuple[str, ...] = ENCODER_INT8_DENY,
     ):
         """``quantize="int8"`` runs the stage-2 QConv stack in s8xs8->s32 on
         the MXU (the TPU analogue of the reference's TensorRT int8 engines).
         Activation scales are calibrated automatically from the first batch
         (see :meth:`calibrate` to use a dedicated calibration set).
         ``int8_deny`` path substrings stay bf16 under int8 serving; the
-        stage-1 ENCODER is denied by default — XLA's s8 conv lowering loses
-        there (11.18 bf16 vs 12.32 ms int8, scripts/exp_r3_enc_d4.py), so
-        quantizing it costs throughput for nothing.
+        default denies the measured losers — the HIGH-RES encoder stages
+        0-3. Round-5 per-stage table (batch 32, r4 barriers in effect,
+        scripts/results/serving_matrix.jsonl): deny-all 924.3 img/s,
+        quantize stages 4-6 925.5, +stage3 912.4, all-stages 895.6 — the
+        int8 loss is concentrated where tensors are high-res/low-channel
+        (byte/fusion-bound), while the low-res stages are neutral.
 
         ``fused_head=True`` traces the stage-2 conv+LayerNorm2d+relu units
         through the fused Pallas kernel (ops/pallas_head.py) and runs the

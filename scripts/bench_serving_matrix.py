@@ -139,6 +139,14 @@ def main():
                 # axis; reference hardcodes 256 via feature_combiner,
                 # hierarchical_segmentation_rgb.py:657-673)
                 mkw["feature_dim"] = int(tok[2:])
+            elif tok == "dec34":
+                # stage-1 fast decoder: 3/4-width smp channels
+                mkw["unet_decoder_channels"] = (192, 96, 48, 24, 16)
+            elif tok == "dhalf":
+                # stage-1 fast decoder: half-width smp channels (last stays
+                # 16 - the seg head needs >= TAIL_QUANT_MIN_FEATURES and
+                # <16 pads HBM lanes worse than it saves FLOPs)
+                mkw["unet_decoder_channels"] = (128, 64, 32, 16, 16)
             elif tok.startswith("tq"):
                 # lower the tail-quant feature gate (r4: re-measure d4/head
                 # int8 — XLA's s8 conv lowering changed since the r2 numbers
@@ -164,7 +172,7 @@ def main():
     for mode in modes:
         kw, mkw = parse_mode(mode)
         mode_params = params
-        if "mid_channels" in mkw or "feature_dim" in mkw:
+        if {"mid_channels", "feature_dim", "unet_decoder_channels"} & set(mkw):
             # different parameter tree: re-init
             _, mode_params = create_flagship(
                 variant=variant, roi_size=sh["roi"], mask_size=sh["mask"],

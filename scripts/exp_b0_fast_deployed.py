@@ -45,10 +45,12 @@ BATCH = 4
 K = 2  # rois per image
 
 
-def flagship(mid: int) -> HierarchicalInstanceSegmenter:
+def flagship(mid: int, fd: int = 256,
+             dec=(256, 128, 64, 32, 16)) -> HierarchicalInstanceSegmenter:
     return HierarchicalInstanceSegmenter(
         encoder_variant="b0", roi_size=ROI, mask_size=MASK,
-        image_size=(IH, IW), mid_channels=mid, freeze_pretrained=False)
+        image_size=(IH, IW), mid_channels=mid, feature_dim=fd,
+        unet_decoder_channels=tuple(dec), freeze_pretrained=False)
 
 
 def init_state(model, tx, seed):
@@ -102,9 +104,14 @@ def train(model, state, step_fn, ds, n_steps, tag):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mid", type=int, default=128)
+    ap.add_argument("--fd", type=int, default=256,
+                    help="student RGB-extractor/feature dim (fast-family axis)")
+    ap.add_argument("--dechalf", action="store_true",
+                    help="student stage-1 decoder at half width (dhalf row)")
     ap.add_argument("--steps", type=int, default=360)
     ap.add_argument("--skip-scratch", action="store_true")
     args = ap.parse_args()
+    student_dec = (128, 64, 32, 16, 16) if args.dechalf else (256, 128, 64, 32, 16)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_axon")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -136,7 +143,7 @@ def main():
 
     rows = {"teacher_mid256": miou_t}
 
-    student = flagship(args.mid)
+    student = flagship(args.mid, fd=args.fd, dec=student_dec)
     if not args.skip_scratch:
         # --- student, from scratch (the no-KD control)
         sstate = init_state(student, tx(), 10)
@@ -169,7 +176,8 @@ def main():
     record_result("b0_fast_deployed", {
         "image": [IH, IW], "roi": list(ROI), "mask": list(MASK),
         "batch": BATCH, "rois_per_image": K, "steps": args.steps,
-        "mid": args.mid, "miou": rows, "kd_delta_vs_teacher": round(delta, 4),
+        "mid": args.mid, "fd": args.fd, "dec": list(student_dec),
+        "miou": rows, "kd_delta_vs_teacher": round(delta, 4),
         "gate_half_point": gate,
     })
 
