@@ -4,20 +4,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference TensorRT EP, B0 480x640 1 ROI = 4.74 ms/img
 (~211 img/s) — /root/reference/README.md:553-563 (see BASELINE.md).
 
-Serving config (the measured optimum, scripts/bench_serving_matrix.py):
+Serving config (the measured optimum, scripts/results/serving_matrix.jsonl):
+- b0-fast: 128-wide stage-2 head (the `*_fast` config family). Measured
+  31.82 ms/batch-32 vs 34.62 for the 256-wide flagship; accuracy is gated
+  by the DEPLOYED-scale KD experiment (B0 encoder, 480x640, 360 steps,
+  scripts/results/b0_fast_deployed.jsonl): teacher mid256 val target-mIoU
+  0.9548, KD mid128 student 0.9547 (delta -0.0001, gate <=0.5pt PASS;
+  from-scratch mid128 is 0.9515, so the KD recipe recovers +0.32pt).
+  Narrower probes (mid96/mid64-class, fd128, half-width stage-1 decoder)
+  all measured SLOWER — v5e's 128-lane layout punishes them.
 - fused_tail=3 + encoder_s2d_front: the stage-1 decoder tail and encoder
   front run in space-to-depth form — exact same params/math (ops/s2d.py,
   tests/test_s2d.py, tests/test_s2d_front.py), MXU-shaped instead of
   lane-starved.
-- calibrated int8 (quantize="int8"): stage-2 QConv stack + the d2/d3
-  composed tail convs run s8xs8->s32 on the MXU — the TPU analogue of the
-  reference's TensorRT int8 engines. Accuracy: target mIoU 0.9253 (f32)
-  vs 0.9263 (int8 fused-tail) on a flagship trained to convergence
+- calibrated int8 (quantize="int8"): stage-2 QConv stack + the FULL
+  decoder tail run s8xs8->s32 on the MXU (r4 operand-fusion barriers) —
+  the TPU analogue of the reference's TensorRT int8 engines. The default
+  denylist keeps only the measured losers bf16 (encoder stages 0-3,
+  inference.py:ENCODER_INT8_DENY). Accuracy: target mIoU 0.9253 (f32) vs
+  0.9263 (int8 fused-tail) on a flagship trained to convergence
   (scripts/eval_int8_accuracy.py) — no measurable loss.
 - fused_head=True: stage-2 conv+LayerNorm2d+relu units that stay bf16
   (int8 takes precedence where calibrated) run through the Pallas fused
-  kernel; measured 38.0 vs 39.3 ms/batch on top of int8
-  (scripts/bench_serving_matrix.py "int8+fused").
+  kernel.
 """
 
 from __future__ import annotations
@@ -45,7 +54,7 @@ def main():
 
     model, params = create_flagship(
         variant="b0", roi_size=(64, 48), mask_size=(128, 96), image_size=(ih, iw),
-        fused_tail=3, encoder_s2d_front=True)
+        fused_tail=3, encoder_s2d_front=True, mid_channels=128)
     params = cast_floating(params, jnp.bfloat16)
 
     rng = np.random.default_rng(0)

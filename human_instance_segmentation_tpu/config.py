@@ -396,8 +396,14 @@ def _build_registry() -> Dict[str, ExperimentConfig]:
     # head (half mid_channels). No reference analogue — it exists because
     # stage-2 is 68% of the TPU program's FLOPs and the head stack scales
     # ~quadratically in mid_channels; trained by hierarchical KD from the
-    # 256-wide flagship (training/distill.py:make_hierarchical_distill_step,
-    # scripts/exp_b0_fast.py records the accuracy delta).
+    # 256-wide flagship (training/distill.py:make_hierarchical_distill_step).
+    # Gated at DEPLOYED scale (B0, 480x640, scripts/exp_b0_fast_deployed.py,
+    # results in scripts/results/b0_fast_deployed.jsonl): teacher mid256 val
+    # target-mIoU 0.9548 vs KD mid128 student 0.9547 (-0.0001, PASS; scratch
+    # mid128 0.9515). Serving: 31.82 vs 34.62 ms/batch-32 (1006 vs 924
+    # img/s, scripts/results/serving_matrix.jsonl) — bench.py serves this
+    # family. Narrower axes (mid96, fd128, half-width stage-1 decoder) all
+    # measured SLOWER on v5e's 128-lane layout; 128 is the floor.
     fast_name = base_name + "_fast"
     r[fast_name] = _base_v2(
         fast_name, (64, 48), (64, 48), use_pretrained_unet=True,
