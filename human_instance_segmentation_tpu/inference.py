@@ -29,9 +29,14 @@ import numpy as np
 from .models.assembly import HierarchicalInstanceSegmenter
 from .models.postprocess import mask_dilation_logit_boost
 
-# Default int8 denylist: the measured-loser encoder stages (0-3, the
-# high-res ones). See InferenceEngine.__init__ for the per-stage table.
-ENCODER_INT8_DENY = tuple(f"encoder/stage{s}_" for s in range(4))
+# Default int8 denylist: the whole stage-1 encoder stays bf16. The r5
+# per-stage re-litigation (scripts/results/serving_matrix.jsonl) found the
+# int8 loss concentrated in the high-res stages 0-3 with stages 4-6
+# NEUTRAL at mid256 (925.5 vs 924.3 img/s) — but at the served mid128
+# config quantizing stages 4-6 LOSES 0.6 ms (986.3 vs 1005.8), so
+# deny-all is the measured-best DEFAULT across configs. The per-stage
+# probes remain available (bench_serving_matrix qonly/qallow tokens).
+ENCODER_INT8_DENY = ("encoder/",)
 
 
 def cast_floating(tree, dtype):
@@ -115,12 +120,13 @@ class InferenceEngine:
         Activation scales are calibrated automatically from the first batch
         (see :meth:`calibrate` to use a dedicated calibration set).
         ``int8_deny`` path substrings stay bf16 under int8 serving; the
-        default denies the measured losers — the HIGH-RES encoder stages
-        0-3. Round-5 per-stage table (batch 32, r4 barriers in effect,
-        scripts/results/serving_matrix.jsonl): deny-all 924.3 img/s,
-        quantize stages 4-6 925.5, +stage3 912.4, all-stages 895.6 — the
-        int8 loss is concentrated where tensors are high-res/low-channel
-        (byte/fusion-bound), while the low-res stages are neutral.
+        default denies the whole stage-1 encoder. Round-5 per-stage table
+        (batch 32, r4 barriers in effect, scripts/results/
+        serving_matrix.jsonl) at mid256: deny-all 924.3 img/s, quantize
+        stages 4-6 925.5 (neutral), +stage3 912.4, all 895.6 — the int8
+        loss concentrates where tensors are high-res/low-channel. At the
+        SERVED mid128 config stages 4-6 flip to a 0.6 ms loss (986.3 vs
+        1005.8), so deny-all stays the default.
 
         ``fused_head=True`` traces the stage-2 conv+LayerNorm2d+relu units
         through the fused Pallas kernel (ops/pallas_head.py) and runs the

@@ -104,6 +104,9 @@ def main():
                 kw["const_params"] = True
             elif tok == "noqdeny":
                 kw["int8_deny"] = ()
+            elif tok == "denyenc":
+                # the pre-r5 default: whole encoder bf16
+                kw["int8_deny"] = ("encoder/",)
             elif tok.startswith("qonly"):
                 # r5 per-stage encoder int8 probe: quantize ONLY encoder
                 # stage <N> (deny every other stage), with the r4 producer-

@@ -119,3 +119,20 @@ def test_engine_int8_mode():
     inst_f, _ = ref(imgs, rois)
     agree = float((inst == inst_f).mean())
     assert agree > 0.93, agree
+
+
+def test_default_denylist_denies_encoder_only():
+    """The engine's default int8 denylist keeps the WHOLE stage-1 encoder
+    bf16 and nothing else — the r5 measured-best default across serving
+    configs (per-stage/per-config table in
+    scripts/results/serving_matrix.jsonl: stages 4-6 are neutral at mid256
+    but a 0.6 ms loss at the served mid128)."""
+    from human_instance_segmentation_tpu.inference import ENCODER_INT8_DENY
+    from human_instance_segmentation_tpu.ops.quant import int8_denied, int8_serving
+
+    with int8_serving(True, scales=None, deny=ENCODER_INT8_DENY):
+        denied = lambda p: int8_denied(tuple(p.split("/")))
+        for s in range(7):
+            assert denied(f"pretrained_unet/encoder/stage{s}_block0/expand_conv")
+        assert not denied("pretrained_unet/decoder4/conv0")
+        assert not denied("head/shared_in/conv")
