@@ -29,17 +29,20 @@ SHAPES = {
 }
 
 
-def bench_variant(variant: str) -> list:
+def bench_variant(variant: str, fast: bool = False) -> list:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from human_instance_segmentation_tpu.inference import (
         cast_floating, create_flagship, deployed_outputs)
 
     (ih, iw), roi, mask, baseline_ms = SHAPES[variant]
+    extra = {"mid_channels": 128} if fast else {}
     model, params = create_flagship(
         variant=variant, roi_size=roi, mask_size=mask, image_size=(ih, iw),
-        fused_tail=3, encoder_s2d_front=True)
+        fused_tail=3, encoder_s2d_front=True, **extra)
     params = cast_floating(params, jnp.bfloat16)
 
     def infer(params, images, rois):
@@ -77,7 +80,8 @@ def bench_variant(variant: str) -> list:
             estimates.append((d2 - d1) / (i2 - i1))
         p50_ms = float(np.median(estimates)) * 1e3
         rows.append({
-            "metric": f"{variant}_{ih}x{iw}_latency_{n}roi",
+            "metric": f"{variant}_{ih}x{iw}_latency_{n}roi"
+                      + ("_fast" if fast else ""),
             "value": round(p50_ms, 3),
             "unit": "ms (p50 per call)",
             "per_roi_ms": round(p50_ms / n, 3),
@@ -85,14 +89,17 @@ def bench_variant(variant: str) -> list:
             "vs_baseline": round(baseline_ms[n] / p50_ms, 3),  # >1 == faster
         })
         print(json.dumps(rows[-1]), flush=True)
+        from bench_serving_matrix import record_result
+        record_result("latency", rows[-1])
     return rows
 
 
 def main():
+    fast = "--fast" in sys.argv
     variants = [v for v in sys.argv[1:] if v in SHAPES] or ["b0"]
     rows = []
     for v in variants:
-        rows += bench_variant(v)
+        rows += bench_variant(v, fast=fast)
     print(json.dumps(rows))
 
 
