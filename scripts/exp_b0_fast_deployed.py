@@ -172,6 +172,34 @@ def main():
           f"delta vs teacher {delta:+.4f}  gate(<=0.5pt loss): "
           f"{'PASS' if gate else 'FAIL'}", flush=True)
 
+    # --- the SERVED form: same KD student under calibrated int8 (the
+    # bench.py config: static scales, encoder denied). This is the
+    # accuracy of what actually ships, not just the bf16 apply.
+    from human_instance_segmentation_tpu.inference import ENCODER_INT8_DENY
+    from human_instance_segmentation_tpu.ops.quant import (
+        calibration, collect_scales, int8_serving)
+
+    cal_batch = next(iter(batch_iterator(ds_tr, batch_size=BATCH,
+                                         shuffle=False, seed=0)))
+    cal_rois = rois_from_boxes(cal_batch["boxes"])
+
+    @jax.jit
+    def calib_run(v, im, r):
+        with calibration():
+            return student.apply(v, im, r, train=False, mutable=["calib"])
+
+    _, cv = calib_run(kvars, jnp.asarray(cal_batch["images"]), cal_rois)
+    scales = collect_scales(jax.tree.map(float, jax.device_get(cv["calib"])))
+
+    def int8_infer(v, im, r):
+        with int8_serving(True, scales, deny=ENCODER_INT8_DENY):
+            return student.apply(v, im, r, train=False)[0]
+
+    miou_q = val_miou(student, kvars, ds_va, infer=jax.jit(int8_infer))
+    rows[f"kd_mid{args.mid}_int8"] = miou_q
+    print(f"student mid{args.mid} KD under int8 serving: val target-mIoU "
+          f"{miou_q:.4f}  delta vs bf16 {miou_q - miou_k:+.4f}", flush=True)
+
     from bench_serving_matrix import record_result
     record_result("b0_fast_deployed", {
         "image": [IH, IW], "roi": list(ROI), "mask": list(MASK),
